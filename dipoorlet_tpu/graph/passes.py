@@ -1,0 +1,194 @@
+"""Import-time graph passes: constant folding, Identity/Dropout elision and
+shape inference by abstract evaluation.
+
+Together these replace onnxsim.simplify + onnx shape_inference as used at
+reference __main__.py:99-102 — but built on our own op library, so the set
+of foldable ops automatically matches the set of executable ops."""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..onnx_ir import array_to_tensor
+from ..onnx_ir.helper import NP_TO_ONNX
+from ..ops import OP_REGISTRY, STATIC_INPUTS, OpContext
+from .graph import GraphIR, node_attrs
+
+_ELIDE = {"Identity", "Dropout"}
+# Ops we never fold even with constant inputs (huge outputs / no benefit)
+_NO_FOLD = {"ConstantOfShape"} - {"ConstantOfShape"}
+
+
+def _np_eval(fn, ctx, args):
+    """Evaluate an op on host numpy values via jax (concrete, not traced)."""
+    out = fn(ctx, *args)
+    if isinstance(out, tuple):
+        return tuple(np.asarray(o) for o in out)
+    return np.asarray(out)
+
+
+def simplify_graph(graph: GraphIR, fold_constants: bool = True) -> GraphIR:
+    """In-place: fold constants, elide Identity/Dropout, infer all shapes."""
+    g = graph
+    opset = 13
+    for o in g.model.opset_import:
+        if o.domain == "":
+            opset = o.version
+
+    rename: Dict[str, str] = {}
+    shapes: Dict[str, tuple] = {}
+    dtypes: Dict[str, np.dtype] = {}
+    consts: Dict[str, np.ndarray] = dict(g.initializer)
+
+    for name in g.network_inputs:
+        shp = tuple(g.get_tensor_shape(name))
+        shapes[name] = shp
+        from ..onnx_ir.helper import ONNX_TO_NP
+        dtypes[name] = ONNX_TO_NP.get(g.get_value_type(name), np.dtype(np.float32))
+
+    new_nodes = []
+    out_names = set(g.network_outputs)
+
+    for node in g.topo_sort():
+        # apply pending renames
+        for i, inp in enumerate(node.input):
+            if inp in rename:
+                node.input[i] = rename[inp]
+
+        # elide Identity/Dropout (keep if output is a network output)
+        if node.op_type in _ELIDE:
+            src = node.input[0]
+            if node.output[0] in out_names:
+                if src in consts:
+                    # promote to initializer copy, drop node
+                    consts[node.output[0]] = consts[src]
+                    g.set_initializer(node.output[0], consts[src])
+                    continue
+                new_nodes.append(node)
+                shapes[node.output[0]] = shapes.get(src)
+                dtypes[node.output[0]] = dtypes.get(src)
+                continue
+            rename[node.output[0]] = src
+            if len(node.output) > 1 and node.output[1]:
+                rename[node.output[1]] = src  # dropout mask unused in inference
+            continue
+
+        fn = OP_REGISTRY.get(node.op_type)
+        if fn is None:
+            raise NotImplementedError(f"op '{node.op_type}' (node {node.name}) not implemented")
+
+        static_set = STATIC_INPUTS.get(node.op_type, set())
+        attrs = node_attrs(node)
+
+        input_vals = []
+        all_const = True
+        for i, inp in enumerate(node.input):
+            if inp == "":
+                input_vals.append(None)
+                continue
+            if inp in consts:
+                input_vals.append(consts[inp])
+            else:
+                input_vals.append(inp)  # placeholder name
+                all_const = False
+
+        # Shape/Size depend only on input *shape*, foldable once shapes known
+        shape_foldable = node.op_type in ("Shape", "Size") and node.input[0] in shapes
+
+        if fold_constants and (all_const or shape_foldable) and node.op_type not in _NO_FOLD:
+            if shape_foldable and not all_const:
+                x_shape = shapes[node.input[0]]
+                if node.op_type == "Shape":
+                    start = attrs.get("start", 0)
+                    end = attrs.get("end", None)
+                    val = np.asarray(list(x_shape)[start:end], dtype=np.int64)
+                else:
+                    val = np.asarray(int(np.prod(x_shape)), dtype=np.int64)
+                results = val
+            else:
+                statics = {i: input_vals[i] for i in static_set
+                           if i < len(input_vals) and input_vals[i] is not None}
+                ctx = OpContext(attrs, node=node, statics=statics, opset=opset)
+                args = list(input_vals)
+                while args and args[-1] is None:
+                    args.pop()
+                results = _np_eval(fn, ctx, args)
+            outs = results if isinstance(results, tuple) else (results,)
+            for out_name, val in zip(node.output, outs):
+                if not out_name:
+                    continue
+                val = np.asarray(val)
+                consts[out_name] = val
+                g.set_initializer(out_name, val)
+                shapes[out_name] = tuple(val.shape)
+                dtypes[out_name] = val.dtype
+            continue
+
+        # abstract evaluation for shape inference
+        statics = {}
+        tracer_args = []
+        for i, inp in enumerate(node.input):
+            if inp == "":
+                tracer_args.append(None)
+            elif i in static_set:
+                if not isinstance(input_vals[i], np.ndarray):
+                    raise ValueError(
+                        f"node {node.name} ({node.op_type}) input #{i} '{inp}' is dynamic but "
+                        f"must be a constant")
+                statics[i] = input_vals[i]
+                tracer_args.append(input_vals[i])
+            elif isinstance(input_vals[i], np.ndarray):
+                tracer_args.append(jax.ShapeDtypeStruct(input_vals[i].shape, input_vals[i].dtype))
+            else:
+                if inp not in shapes or shapes[inp] is None:
+                    raise ValueError(f"missing shape for tensor '{inp}' feeding node {node.name}")
+                tracer_args.append(jax.ShapeDtypeStruct(shapes[inp], dtypes[inp]))
+        while tracer_args and tracer_args[-1] is None:
+            tracer_args.pop()
+        ctx = OpContext(attrs, node=node, statics=statics, opset=opset)
+
+        def _absfn(*xs):
+            return fn(ctx, *xs)
+
+        abstract = jax.eval_shape(_absfn, *tracer_args)
+        outs = abstract if isinstance(abstract, tuple) else (abstract,)
+        for out_name, av in zip(node.output, outs):
+            if not out_name:
+                continue
+            shapes[out_name] = tuple(av.shape)
+            dtypes[out_name] = np.dtype(av.dtype)
+        new_nodes.append(node)
+
+    # rename network outputs if they pointed at elided nodes
+    for i, out in enumerate(g.network_outputs):
+        if out in rename:
+            tgt = rename[out]
+            g.graph.output[i].name = tgt
+            g.network_outputs[i] = tgt
+
+    g.graph.node = new_nodes
+    _prune_unused_initializers(g, new_nodes)
+    g.topologize_graph()
+    g.set_index()
+    g.get_inp_oup()
+
+    for name, shp in shapes.items():
+        g.tensor_name_shape_map[name] = list(shp) if shp is not None else None
+    for name, dt in dtypes.items():
+        if dt is not None and dt in NP_TO_ONNX:
+            g.value_name_type_map[name] = NP_TO_ONNX[dt]
+    return g
+
+
+def _prune_unused_initializers(g: GraphIR, nodes):
+    used = set()
+    for node in nodes:
+        used.update(n for n in node.input if n)
+    used.update(g.network_outputs)
+    keep = [t for t in g.graph.initializer if t.name in used]
+    if len(keep) != len(g.graph.initializer):
+        g.graph.initializer = keep
+    g.prepare_initializer()
