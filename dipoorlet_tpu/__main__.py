@@ -1,0 +1,161 @@
+"""CLI orchestrator: python -m dipoorlet_tpu.
+
+Flag and phase parity with /root/reference/dipoorlet/__main__.py:23-161:
+  calibrate -> reduce -> weight-transform -> profile -> deploy.
+
+Distribution model: SPMD over jax devices/processes (jax.distributed)
+replaces torch.distributed+NCCL; rank-file reduction is kept only for
+multi-process launches without a shared mesh — single-process multi-chip
+runs reduce on device."""
+from __future__ import annotations
+
+import argparse
+import copy
+import os
+import sys
+import time
+
+
+def build_parser():
+    parser = argparse.ArgumentParser("dipoorlet_tpu")
+    parser.add_argument("-M", "--model", help="onnx model")
+    parser.add_argument("-I", "--input_dir", help="calibration data", required=True)
+    parser.add_argument("-O", "--output_dir", help="output data path")
+    parser.add_argument("-N", "--data_num", help="num of calibration pics", type=int, required=True)
+    parser.add_argument("--we", help="weight equalization", action="store_true")
+    parser.add_argument("--bc", help="bias correction", action="store_true")
+    parser.add_argument("--update_bn", help="update BN", action="store_true")
+    parser.add_argument("--adaround", help="Adaround", action="store_true")
+    parser.add_argument("--brecq", help="BrecQ", action="store_true")
+    parser.add_argument("--drop", help="QDrop", action="store_true")
+    parser.add_argument("-A", "--act_quant", help="algorithm of activation quantization",
+                        choices=["minmax", "hist", "mse"], default="mse")
+    parser.add_argument("-D", "--deploy", help="deploy platform",
+                        choices=["trt", "stpu", "magicmind", "rv", "atlas", "snpe", "ti", "imx"],
+                        required=True)
+    parser.add_argument("--bins", help="bins for histogram and kl", default=2048, type=int)
+    parser.add_argument("--threshold", help="threshold for histogram", default=0.99999, type=float)
+    parser.add_argument("--savefp", help="Save FP output of model.", action="store_true")
+    parser.add_argument("--ada_bs", help="Batch size for adaround.", type=int, default=64)
+    parser.add_argument("--ada_epoch", help="Epoch for adaround.", type=int, default=5000)
+    parser.add_argument("--skip_layers", help="Skip layer name", default=[], type=str, nargs="+")
+    parser.add_argument("--stpu_wg", help="Enable winograd for stpu.", action="store_true")
+    parser.add_argument("--skip_prof_layer", help="Skip profiling by layer.",
+                        default=False, action="store_true")
+    parser.add_argument("--sparse", help="Sparse on/off", default=False, action="store_true")
+    parser.add_argument("--sparse_rate", help="Sparse rate", type=float, default=0.5)
+    parser.add_argument("--pattern", help="Sparse pattern",
+                        choices=["unstruction", "nv24"], default="unstruction")
+    parser.add_argument("--optim_transformer", help="Transformer model optimization",
+                        default=False, action="store_true")
+    parser.add_argument("--model_type", help="Transformer model type", choices=["unet"], default=None)
+    parser.add_argument("--quant_format", default="QDQ", type=str, choices=["QOP", "QDQ"])
+    parser.add_argument("--batch_size", help="Device batch size for calibration forwards.",
+                        type=int, default=16)
+    parser.add_argument("--cpu", help="Force CPU backend (testing).", action="store_true")
+    parser.add_argument("--multihost", help="Initialize jax.distributed for multi-host runs.",
+                        action="store_true")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
+
+    import jax
+
+    from .calib import tensor_calibration
+    from .deploy import to_deploy
+    from .graph import GraphIR
+    from .profiling import (quantize_profiling_multipass, quantize_profiling_transformer,
+                            show_model_profiling_res, show_model_ranges, weight_need_perchannel)
+    from .utils.logging import logger, setup_logger
+    from .utils.serialization import (load_clip_val, reduce_clip_val, reduce_profiling_res,
+                                      save_clip_val, save_profiling_res)
+    from .wtrans import weight_calibration
+
+    rank = jax.process_index()
+    world_size = jax.process_count()
+    setattr(args, "rank", rank)
+    setattr(args, "world_size", world_size)
+    setattr(args, "local_rank", 0)
+
+    if args.output_dir is None:
+        model_path = os.path.dirname(os.path.abspath(args.model))
+        args.output_dir = os.path.join(model_path, "results")
+    if args.model_type is not None:
+        args.optim_transformer = True
+        args.skip_prof_layer = True
+
+    if rank == 0:
+        os.makedirs(args.output_dir, exist_ok=True)
+        setup_logger(args)
+
+    start = time.time()
+    onnx_graph = GraphIR.load(args.model, output_dir=args.output_dir,
+                              deploy=args.deploy, model_type=args.model_type)
+
+    if rank == 0:
+        logger.info("Do tensor calibration...")
+    act_clip_val, weight_clip_val = tensor_calibration(onnx_graph, args)
+    tensor_range = copy.deepcopy(act_clip_val)
+
+    if world_size > 1:
+        save_clip_val(act_clip_val, weight_clip_val, args,
+                      act_fname=f"act_clip_val.json.rank{rank}",
+                      weight_fname=f"weight_clip_val.json.rank{rank}")
+        _barrier()
+        if rank == 0:
+            reduce_clip_val(world_size, args)
+        _barrier()
+        act_clip_val, weight_clip_val = load_clip_val(args)
+    else:
+        save_clip_val(copy.deepcopy(act_clip_val), copy.deepcopy(weight_clip_val), args)
+
+    if rank == 0:
+        logger.info("Weight transform...")
+    graph, graph_ori, act_clip_val, weight_clip_val = weight_calibration(
+        onnx_graph, act_clip_val, weight_clip_val, args)
+
+    if rank == 0:
+        logger.info("Profiling...")
+    if args.model_type is not None:
+        layer_cos, model_cos, quant_node_list = quantize_profiling_transformer(
+            graph, graph_ori, act_clip_val, weight_clip_val, args)
+    else:
+        layer_cos, model_cos, quant_node_list = quantize_profiling_multipass(
+            graph, graph_ori, act_clip_val, weight_clip_val, args)
+    save_profiling_res(layer_cos, model_cos, args, rank=rank)
+    _barrier()
+    if rank == 0:
+        layer_cos, model_cos = reduce_profiling_res(world_size, args)
+        show_model_profiling_res(graph, layer_cos, model_cos, quant_node_list, args)
+        show_model_ranges(graph, act_clip_val, weight_clip_val, args)
+        weight_need_perchannel(graph, args)
+
+    if rank == 0:
+        logger.info("Deploy to " + args.deploy + "...")
+        to_deploy(graph, act_clip_val, weight_clip_val, args)
+        if args.quant_format == "QOP" and args.model_type is None:
+            from .quant.qop_export import deploy_qoperator
+            deploy_qoperator(graph, tensor_range, args)
+        logger.info("Total time cost: {} seconds.".format(int(time.time() - start)))
+
+
+def _barrier():
+    """Cross-process sync: a tiny psum over all processes."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("dipoorlet_tpu_barrier")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Per-platform quantization policy table.
+
+Data parity with the reference's platform_setting_table
+(/root/reference/dipoorlet/platform_settings.py:1-184): quantizable op
+sets, weight/activation/bias bit-widths, symmetry, per-channel, log-scale,
+dynamic-sym, network-output quantization and deploy-weight flags for the
+8 supported inference backends."""
+from __future__ import annotations
+
+LAYER_HAS_WEIGHT = ["Conv", "Gemm", "ConvTranspose", "PRelu", "BatchNormalization"]
+
+_BASIC_QUANT_NODES = [
+    "Relu", "Eltwise", "MaxPool", "Conv", "Gemm", "ConvTranspose", "PRelu",
+    "AveragePool", "Concat", "Split", "Add", "Mul", "Abs", "Reciprocal", "Sigmoid",
+]
+
+
+def _spec(bit_width=8, symmetric=True, per_channel=None, log_scale=None, dynamic_sym=None):
+    d = {"bit_width": bit_width, "type": "Linear", "symmetric": symmetric}
+    if per_channel is not None:
+        d["per_channel"] = per_channel
+    if log_scale is not None:
+        d["log_scale"] = log_scale
+    if dynamic_sym is not None:
+        d["dynamic_sym"] = dynamic_sym
+    return d
+
+
+platform_setting_table = {
+    # platform_settings.py:6-22
+    "trt": {
+        "quant_nodes": ["Relu", "MaxPool", "Conv", "Gemm", "ConvTranspose", "PRelu",
+                        "AveragePool", "Add", "Sigmoid"],
+        "qw_params": _spec(symmetric=True, per_channel=True),
+        "qi_params": _spec(symmetric=True),
+        "quantize_network_output": False,
+        "deploy_weight": False,
+    },
+    # platform_settings.py:25-41
+    "stpu": {
+        "quant_nodes": _BASIC_QUANT_NODES + ["Clip", "HardSigmoid"],
+        "qi_params": _spec(symmetric=True),
+        "qw_params": _spec(symmetric=True, per_channel=False),
+        "quantize_network_output": False,
+        "deploy_weight": True,
+    },
+    # platform_settings.py:44-62
+    "magicmind": {
+        "quant_nodes": ["Gemm", "Conv", "ConvTranspose", "MatMul"],
+        "qw_params": _spec(symmetric=False, per_channel=True, log_scale=False),
+        "qi_params": _spec(symmetric=False, log_scale=False),
+        "quantize_network_output": False,
+        "deploy_weight": False,
+    },
+    # platform_settings.py:65-81
+    "rv": {
+        "quant_nodes": list(_BASIC_QUANT_NODES),
+        "qi_params": _spec(symmetric=False),
+        "qw_params": _spec(symmetric=False, per_channel=False),
+        "quantize_network_output": True,
+        "deploy_weight": True,
+    },
+    # platform_settings.py:87-102
+    "atlas": {
+        "quant_nodes": ["Conv", "Gemm", "AveragePool"],
+        "qw_params": _spec(symmetric=True, per_channel=True),
+        "qi_params": _spec(symmetric=False),
+        "quantize_network_output": False,
+        "deploy_weight": False,
+    },
+    # platform_settings.py:107-123
+    "snpe": {
+        "quant_nodes": _BASIC_QUANT_NODES + ["Sigmoid"],
+        "qw_params": _spec(symmetric=False, per_channel=False),
+        "qi_params": _spec(symmetric=False),
+        "quantize_network_output": True,
+        "deploy_weight": False,
+    },
+    # platform_settings.py:134-153
+    "ti": {
+        "quant_nodes": list(_BASIC_QUANT_NODES),
+        "qw_params": _spec(symmetric=True, per_channel=False, log_scale=False),
+        "qi_params": _spec(symmetric=True, dynamic_sym=True, log_scale=True),
+        "quantize_network_output": False,
+        "deploy_weight": False,
+    },
+    # platform_settings.py:155-173
+    "imx": {
+        "quant_nodes": list(_BASIC_QUANT_NODES),
+        "qw_params": _spec(symmetric=True, per_channel=True, log_scale=True),
+        "qi_params": _spec(symmetric=True, log_scale=True),
+        "quantize_network_output": True,
+        "deploy_weight": True,
+    },
+}
+
+# Per-platform layers excluded from deployment (platform_settings.py "deploy_exclude_layers")
+for _name in ("trt", "stpu", "magicmind", "rv", "snpe", "ti", "imx"):
+    platform_setting_table[_name].setdefault("deploy_exclude_layers", [])

@@ -1,0 +1,81 @@
+"""BRECQ / QDrop driver.
+
+Behavioral port of /root/reference/dipoorlet/weight_transform/
+brecq.py:20-200: greedy blocks of <=3 learnable layers separated only by
+ReLU, jointly optimized round masks with the loss at the block output;
+QDrop (--drop) mixes quant/FP block inputs 50/50 per element and
+fake-quants activations inside the block with drop ratio 0.5."""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..quant.quant_graph import quant_graph
+from ..utils.logging import logger
+from .adaround import _build_layer_spec
+from .common import (ActivationProvider, LEARNABLE_LAYER_TYPES,
+                     acti_qparams_for_node, follow_relu, get_block_from_first,
+                     quantized_input_name, shard_bounds)
+from .reconstruct import hard_round_weight, learn_block
+from .weight_equalization import node_has_equalized
+
+
+def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
+    clip_val = act_clip_val.copy()
+    clip_val.update(weight_clip_val)
+    graph_brecq = graph.clone()
+    st, ed = shard_bounds(args)
+    num_per_rank = ed - st
+    log_head = "Qdrop" if args.drop else "Brecq"
+
+    fp_provider = ActivationProvider(graph_ori, args, st, ed)
+    graph_q, _ = quant_graph(graph_brecq, clip_val, args)
+    q_provider = ActivationProvider(graph_q, args, st, ed)
+
+    already = set()
+    for node in graph_ori.graph.node:
+        if node.name in args.skip_layers:
+            continue
+        if node.op_type not in LEARNABLE_LAYER_TYPES or node.name in already:
+            continue
+        block = get_block_from_first(graph, node, args)
+        if args.we and node_has_equalized(graph, block[-1]):
+            block.pop(-1)  # equalized layer cannot end a block (brecq.py:38-41)
+        if not block:
+            continue
+        logger.info("%s for: %s", log_head, " ".join(n.name for n in block))
+        already.update(n.name for n in block)
+
+        in_name = quantized_input_name(q_provider.graph, block[0].input[0])
+        q_in = q_provider.get(in_name)[in_name]
+        fp_in = fp_provider.get(block[0].input[0])[block[0].input[0]]
+        out_relu = follow_relu(graph, block[-1])
+        fp_out = fp_provider.get(block[-1].output[0], relu=out_relu)[block[-1].output[0]]
+        q_in = q_in.reshape((q_in.shape[0],) + q_in.shape[2:])
+        fp_in = fp_in.reshape((fp_in.shape[0],) + fp_in.shape[2:])
+        fp_out = fp_out.reshape((fp_out.shape[0],) + fp_out.shape[2:])
+
+        specs = []
+        for _node in block:
+            relu_flag = follow_relu(graph, _node)
+            acti_qp = acti_qparams_for_node(graph, _node, clip_val, args)
+            specs.append(_build_layer_spec(graph_brecq, graph_brecq, _node, clip_val,
+                                           args, relu_flag, acti_qp=acti_qp))
+
+        max_epoch = args.ada_epoch * len(block)
+        total_iter = int(max_epoch * math.ceil(num_per_rank / args.ada_bs))
+        masks = learn_block(specs, q_in, fp_out, args.ada_bs, max_epoch, total_iter,
+                            acti_quant=bool(getattr(args, "acti_quant", args.drop)),
+                            drop=bool(args.drop), fp_in=fp_in,
+                            seed=abs(hash(block[0].name)) % (2 ** 31))
+
+        for spec, mask, _node in zip(specs, masks, block):
+            new_weight = hard_round_weight(spec, mask)
+            graph_brecq.set_initializer(_node.input[1], new_weight)
+            q_provider.update_weight(_node.input[1], new_weight)
+
+    if getattr(args, "rank", 0) == 0 and graph_brecq.output_dir:
+        graph_brecq.update_model()
+        graph_brecq.save_onnx_model("brecq")
+    return graph_brecq

@@ -1,0 +1,175 @@
+"""Shared infrastructure for the weight-transform / reconstruction passes.
+
+The reference drives these from torch modules rebuilt per ONNX node
+(ada_quant_layer.py:133-252) plus an ORT-backed ActivationCache; here a
+learnable layer is just its registry op fn applied with the node's attrs,
+and activations come from jitted (XLA-DCE-pruned) prefix replays of the
+fp/quant executors."""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..graph.graph import GraphIR, INPUT_TOKEN, OUTPUT_TOKEN, node_attrs
+from ..ops import OP_REGISTRY, OpContext
+from ..quant.platform import platform_setting_table
+from ..quant.qparams import compute_qparams
+from ..quant.quant_graph import DQ_SUFFIX
+from ..runtime.data import CalibDataset
+from ..runtime.executor import Executor
+
+LEARNABLE_LAYER_TYPES = ["Conv", "Gemm", "ConvTranspose"]
+
+
+def follow_relu(graph: GraphIR, node) -> bool:
+    nxt = graph.get_tensor_consumer(node.output[0])
+    return len(nxt) == 1 and not isinstance(nxt[0], str) and nxt[0].op_type == "Relu"
+
+
+def following_relu(graph: GraphIR, node):
+    nxt = graph.get_tensor_consumer(node.output[0])
+    assert nxt[0].op_type == "Relu"
+    return nxt[0]
+
+
+def get_block_from_first(graph: GraphIR, node, args) -> List:
+    """Chain of <=3 learnable layers separated only by ReLU
+    (weight_transform/utils.py:54-65)."""
+    res = [node]
+    while True:
+        nxt = graph.get_tensor_consumer(node.output[0])
+        if len(nxt) != 1 or isinstance(nxt[0], str) or \
+                nxt[0].op_type not in LEARNABLE_LAYER_TYPES + ["Relu"]:
+            return res
+        if nxt[0].op_type != "Relu":
+            res.append(nxt[0])
+            if len(res) == 3:
+                return res
+        node = nxt[0]
+
+
+def make_layer_apply(node):
+    """Returns apply(x, w, b) evaluating the node with given weight/bias.
+    For ConvTranspose, w is expected in the ONNX (C_in, C_out/g, ...) layout."""
+    fn = OP_REGISTRY[node.op_type]
+    ctx = OpContext(node_attrs(node), node=node)
+
+    def apply(x, w, b=None):
+        if b is None:
+            return fn(ctx, x, w)
+        return fn(ctx, x, w, b)
+
+    return apply
+
+
+def weight_qparams_for_node(node, clip_val, args):
+    """scale/qmin/qmax tensors for a learnable node's weight, in the
+    (possibly transposed) layout used during training
+    (weight_transform/utils.py:29-51)."""
+    qw_param = platform_setting_table[args.deploy]["qw_params"]
+    weight_range = clip_val[node.input[1]]
+    qp = compute_qparams(qw_param, weight_range[0], weight_range[1])
+    return qp, bool(qw_param.get("per_channel", False))
+
+
+def acti_qparams_for_node(graph, node, clip_val, args):
+    """Activation quant params at the node's (post-relu) output
+    (brecq.py:96-110)."""
+    qi_param = platform_setting_table[args.deploy]["qi_params"]
+    out_node = following_relu(graph, node) if follow_relu(graph, node) else node
+    acti_range = clip_val[out_node.output[0]]
+    qp = compute_qparams(qi_param, acti_range[0], acti_range[1])
+    return qp
+
+
+def quantized_input_name(graph_q: GraphIR, tensor_name: str) -> str:
+    """The reference reads the DQ output when the tensor was quantized
+    (adaround.py:46-51)."""
+    dq = tensor_name + DQ_SUFFIX
+    if dq in graph_q.output_map:
+        return dq
+    return tensor_name
+
+
+class ActivationProvider:
+    """Materializes activation tensors over the rank's sample shard by
+    jitted prefix replay — the TPU ActivationCache
+    (forward_net.py:23-189).  update_weight() refreshes executor params
+    without recompiling, giving the reference's incremental reuse
+    (adaround.py:40-45) for free."""
+
+    def __init__(self, graph: GraphIR, args, st: int, ed: int,
+                 batch_size: Optional[int] = None):
+        self.graph = graph
+        self.ex = Executor(graph)
+        self.params = {k: jnp.asarray(v) for k, v in self.ex.init_params().items()}
+        self.dataset = CalibDataset(args.input_dir, self.ex.input_shapes(), args.data_num)
+        self.st, self.ed = st, ed
+        self.batch_size = batch_size or getattr(args, "batch_size", 16)
+        self._fns: Dict = {}
+
+    def update_weight(self, name: str, value) -> None:
+        value = jnp.asarray(np.asarray(value))
+        if name in self.params:
+            self.params[name] = value
+        self.graph.set_initializer(name, np.asarray(value))
+
+    def get(self, tensor_names, relu: bool = False) -> Dict[str, np.ndarray]:
+        """Returns {name: (N_shard, *declared_shape)} stacked activations."""
+        if isinstance(tensor_names, str):
+            tensor_names = [tensor_names]
+        key = (tuple(tensor_names), relu)
+        if key not in self._fns:
+            if relu:
+                def tap_tx(name, arr):
+                    return jnp.maximum(arr, 0)
+                self._fns[key] = self.ex.make_batched(taps=tensor_names,
+                                                      tap_transform=tap_tx, outputs=())
+            else:
+                self._fns[key] = self.ex.make_batched(taps=tensor_names, outputs=())
+        fn = self._fns[key]
+        chunks = {n: [] for n in tensor_names}
+        for idx in self.dataset.iter_batches(self.batch_size, self.st, self.ed):
+            batch = self.dataset.load_batch(idx)
+            _, taps = fn(self.params, batch)
+            for n in tensor_names:
+                chunks[n].append(np.asarray(jax.device_get(taps[n])))
+        return {n: np.concatenate(v, axis=0) for n, v in chunks.items()}
+
+    def channel_mean(self, tensor_names, spatial_axes=True) -> Dict[str, np.ndarray]:
+        """Per-channel mean over samples (and spatial dims) — the Bias
+        Correction statistic, reduced on device."""
+        if isinstance(tensor_names, str):
+            tensor_names = [tensor_names]
+        key = ("chmean", tuple(tensor_names), spatial_axes)
+        if key not in self._fns:
+            def tap_tx(name, arr):
+                # arr: declared shape (1, C, ...) per sample
+                if arr.ndim > 2:
+                    axes = (0,) + tuple(range(2, arr.ndim))
+                    return jnp.mean(arr, axis=axes)
+                return jnp.mean(arr, axis=0)
+            self._fns[key] = self.ex.make_batched(taps=tensor_names,
+                                                  tap_transform=tap_tx, outputs=())
+        fn = self._fns[key]
+        sums = {n: 0.0 for n in tensor_names}
+        count = 0
+        for idx in self.dataset.iter_batches(self.batch_size, self.st, self.ed):
+            batch = self.dataset.load_batch(idx)
+            _, taps = fn(self.params, batch)
+            for n in tensor_names:
+                sums[n] = sums[n] + np.asarray(jax.device_get(jnp.sum(taps[n], axis=0)))
+            count += len(idx)
+        return {n: sums[n] / count for n in tensor_names}
+
+
+def shard_bounds(args):
+    rank = getattr(args, "rank", 0)
+    world = getattr(args, "world_size", 1)
+    per = args.data_num // world
+    st = rank * per
+    ed = st + per
+    return st, min(ed, args.data_num)

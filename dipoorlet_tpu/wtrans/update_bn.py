@@ -1,0 +1,74 @@
+"""BN statistics refresh from quantized activations.
+
+Behavioral port of /root/reference/dipoorlet/weight_transform/
+update_bn.py:12-48 (multipass variant): for each BatchNormalization node
+in order, re-estimate running mean/var from the quantized graph's input
+activations with momentum 0.9, updating the graph between BNs.
+
+Note: the reference updates running_var with np.std (not variance) —
+reproduced verbatim for parity (update_bn.py:17).
+
+The per-sample (mean, std) statistics are computed on device; the
+momentum recurrence runs on host over tiny (C,) vectors."""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..graph.graph import GraphIR
+from ..quant.quant_graph import quant_graph
+from ..utils.logging import logger
+from .common import ActivationProvider, shard_bounds
+
+MOMENTUM = 0.9
+
+
+def update_bn(graph: GraphIR, act_clip_val, weight_clip_val, args):
+    clip_val = act_clip_val.copy()
+    clip_val.update(weight_clip_val)
+    graph_bn = graph.clone()
+    bn_nodes = [n for n in graph_bn.graph.node if n.op_type == "BatchNormalization"]
+    if not bn_nodes:
+        graph_bn.save_onnx_model("update_bn_model")
+        return graph_bn
+
+    st, ed = shard_bounds(args)
+    graph_q, _ = quant_graph(graph_bn, clip_val, args)
+    q_provider = ActivationProvider(graph_q, args, st, ed)
+
+    def per_sample_stats(name, arr):
+        axes = (0,) + tuple(range(2, arr.ndim))
+        return jnp.mean(arr, axis=axes), jnp.std(arr, axis=axes)
+
+    for node in bn_nodes:
+        logger.info("Update BN for node: %s", node.name)
+        in_tensor = node.input[0]
+        key = ("bnstats", in_tensor)
+        if key not in q_provider._fns:
+            q_provider._fns[key] = q_provider.ex.make_batched(
+                taps=[in_tensor], tap_transform=per_sample_stats, outputs=())
+        fn = q_provider._fns[key]
+        means, stds = [], []
+        for idx in q_provider.dataset.iter_batches(q_provider.batch_size, st, ed):
+            batch = q_provider.dataset.load_batch(idx)
+            _, taps = fn(q_provider.params, batch)
+            m, s = taps[in_tensor]
+            means.append(np.asarray(m))
+            stds.append(np.asarray(s))
+        means = np.concatenate(means, axis=0)
+        stds = np.concatenate(stds, axis=0)
+
+        running_mean = graph_bn.get_initializer(node.input[3]).astype(np.float64)
+        running_var = graph_bn.get_initializer(node.input[4]).astype(np.float64)
+        for i in range(means.shape[0]):
+            running_mean = MOMENTUM * running_mean + (1.0 - MOMENTUM) * means[i]
+            running_var = MOMENTUM * running_var + (1.0 - MOMENTUM) * stds[i]
+        graph_bn.set_initializer(node.input[3], running_mean.astype(np.float32))
+        graph_bn.set_initializer(node.input[4], running_var.astype(np.float32))
+        # propagate into the quantized executor for the next BN's activations
+        q_provider.update_weight(node.input[3], running_mean.astype(np.float32))
+        q_provider.update_weight(node.input[4], running_var.astype(np.float32))
+
+    graph_bn.update_model()
+    graph_bn.save_onnx_model("update_bn_model")
+    return graph_bn

@@ -1,0 +1,66 @@
+"""End-to-end CLI pipeline tests (calibrate -> transform -> profile -> deploy)."""
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from dipoorlet_tpu.runtime.data import make_synthetic_dataset
+from torch_export import MODEL_ZOO, export
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("e2e")
+    torch.manual_seed(0)
+    m = MODEL_ZOO["resnet18"](num_classes=8)
+    m.eval()
+    export(m, torch.randn(1, 3, 32, 32), str(ws / "model.onnx"))
+    make_synthetic_dataset(str(ws / "data"), {"input": [1, 3, 32, 32]}, 8, seed=1)
+    return ws
+
+
+def run_cli(ws, out_name, extra):
+    from dipoorlet_tpu.__main__ import main
+    out = str(ws / out_name)
+    main(["-M", str(ws / "model.onnx"), "-I", str(ws / "data"), "-O", out,
+          "-N", "8", "--batch_size", "4", "--cpu"] + extra)
+    return out
+
+
+def test_minmax_trt(workspace):
+    out = run_cli(workspace, "out_trt", ["-A", "minmax", "-D", "trt"])
+    blob = json.load(open(os.path.join(out, "trt_clip_val.json")))["blob_range"]
+    assert len(blob) > 20
+    assert all(v >= 0 for v in blob.values())
+    model_cos = json.load(open(os.path.join(out, "model_res.json.rank0")))
+    assert model_cos["output"][0] > 0.99
+    assert os.path.exists(os.path.join(out, "quant_model.onnx"))
+
+
+def test_hist_snpe(workspace):
+    out = run_cli(workspace, "out_snpe", ["-A", "hist", "-D", "snpe",
+                                          "--bins", "256", "--threshold", "0.999"])
+    enc = json.load(open(os.path.join(out, "snpe_encodings.json")))
+    assert len(enc["activation_encodings"]) > 10
+    for entries in enc["activation_encodings"].values():
+        e = entries[0]
+        assert e["max"] >= e["min"] and e["bitwidth"] == 8
+
+
+def test_mse_atlas(workspace):
+    out = run_cli(workspace, "out_atlas", ["-A", "mse", "-D", "atlas"])
+    params = json.load(open(os.path.join(out, "atlas_quant_param.json")))
+    assert len(params) > 5
+    for v in params.values():
+        assert -128 <= v["offset"] <= 127 and v["scale"] > 0
+
+
+def test_qop_export(workspace):
+    out = run_cli(workspace, "out_qop", ["-A", "minmax", "-D", "trt",
+                                         "--quant_format", "QOP"])
+    from dipoorlet_tpu.onnx_ir import load_model
+    m = load_model(os.path.join(out, "qop_model.onnx"))
+    ops = {n.op_type for n in m.graph.node}
+    assert "QLinearConv" in ops
