@@ -80,13 +80,29 @@ def make_hist_transform(amax_map: Dict[str, float], bins: int):
 
 
 class StatsRunner:
-    """Batched, jitted statistics forward over a GraphIR."""
+    """Batched, jitted statistics forward over a GraphIR.
 
-    def __init__(self, executor: Executor, tensor_names: Optional[Sequence[str]] = None):
+    With a mesh, full batches are sharded over the 'data' axis and the
+    stats forward runs SPMD (XLA reduces on device over ICI); trailing
+    partial batches run replicated."""
+
+    def __init__(self, executor: Executor, tensor_names: Optional[Sequence[str]] = None,
+                 mesh=None):
         self.ex = executor
         self.tensor_names = list(tensor_names) if tensor_names is not None \
             else self.ex.all_tensor_names()
+        self.mesh = mesh
         self._fns = {}
+
+    def _place(self, batch):
+        if self.mesh is None:
+            return batch
+        n = next(iter(batch.values())).shape[0]
+        n_shards = int(np.prod(list(self.mesh.shape.values())))
+        if n % n_shards == 0:
+            from ..parallel.mesh import shard_batch
+            return shard_batch(batch, self.mesh)
+        return batch
 
     def _batched(self, kind, transform):
         key = kind
@@ -101,7 +117,7 @@ class StatsRunner:
         fn = self._batched("minmax", _per_sample_minmax)
         acc = {}
         for idx in dataset.iter_batches(batch_size, start, end):
-            batch = self._stack(dataset.load_batch(idx))
+            batch = self._place(self._stack(dataset.load_batch(idx)))
             _, taps = fn(params, batch)
             taps = jax.device_get(taps)
             for name, (mn, mx) in taps.items():
@@ -118,7 +134,7 @@ class StatsRunner:
         fn = self._batched(f"hist{bins}", make_hist_transform(amax_map, bins))
         acc = {}
         for idx in dataset.iter_batches(batch_size, start, end):
-            batch = self._stack(dataset.load_batch(idx))
+            batch = self._place(self._stack(dataset.load_batch(idx)))
             _, taps = fn(params, batch)
             for name, h in taps.items():
                 hsum = np.asarray(jax.device_get(jnp.sum(h, axis=0)), dtype=np.int64)
@@ -134,7 +150,7 @@ class StatsRunner:
         fn = self._batched(f"octav{int(dynamic_sym)}", make_octav_transform(dynamic_sym))
         acc = {}
         for idx in dataset.iter_batches(batch_size, start, end):
-            batch = self._stack(dataset.load_batch(idx))
+            batch = self._place(self._stack(dataset.load_batch(idx)))
             _, taps = fn(params, batch)
             taps = jax.device_get(taps)
             for name, (s, mn, mx) in taps.items():
@@ -156,7 +172,7 @@ class StatsRunner:
         fn = self._fns[key]
         chunks = {name: [] for name in taps}
         for idx in dataset.iter_batches(batch_size, start, end):
-            batch = self._stack(dataset.load_batch(idx))
+            batch = self._place(self._stack(dataset.load_batch(idx)))
             _, out = fn(params, batch)
             for name in taps:
                 chunks[name].append(np.asarray(jax.device_get(out[name])))

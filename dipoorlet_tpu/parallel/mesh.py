@@ -1,0 +1,89 @@
+"""Device-mesh utilities: the SPMD replacement for the reference's
+torch.distributed/NCCL + rank-file runtime (SURVEY §2.2).
+
+  * calibration batches are sharded over the mesh's 'data' axis — one
+    jitted stats forward runs data-parallel, XLA inserting the ICI
+    all-reduces for the on-device stat reductions (so single-controller
+    runs produce globally-reduced stats with NO separate merge step);
+  * reconstruction (AdaRound/BRECQ) shards the cached activation batch
+    the same way; the gradient psum appears in the backward pass exactly
+    where DDP's allreduce sat (reference adaround.py:121);
+  * multi-host (one process per host) keeps the reference's per-shard
+    clip semantics and merges them with collectives over DCN
+    (reduce_clip_val_collective), replacing the rank-file JSON merge
+    (reference utils.py:326-345)."""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: Optional[int] = None, axes=("data",), shape=None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axes) - 1)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axes)
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = "data"):
+    """Place a {name: (B, ...)} batch with B sharded over the mesh axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def pad_to_multiple(batch: Dict[str, np.ndarray], multiple: int):
+    """Pad the batch dim so it divides the mesh axis; returns (batch, n_valid)."""
+    n = next(iter(batch.values())).shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch, n
+    pad = multiple - rem
+    out = {}
+    for k, v in batch.items():
+        out[k] = np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+    return out, n
+
+
+def reduce_clip_val_collective(local_clip: Dict[str, list], act_quant: str):
+    """Merge per-process clip values across hosts with collectives,
+    keeping the reference's exact semantics (utils.py:331-344): global
+    min/max for minmax, arithmetic process-mean for hist/mse.
+
+    No-op when running single-process."""
+    if jax.process_count() == 1:
+        return local_clip
+    from jax.experimental import multihost_utils
+
+    names = sorted(local_clip)
+    lo = np.asarray([float(np.min(local_clip[n][0])) for n in names], dtype=np.float64)
+    hi = np.asarray([float(np.max(local_clip[n][1])) for n in names], dtype=np.float64)
+    gathered_lo = multihost_utils.process_allgather(jnp.asarray(lo))  # (P, T)
+    gathered_hi = multihost_utils.process_allgather(jnp.asarray(hi))
+    if act_quant == "minmax":
+        lo_r = np.min(np.asarray(gathered_lo), axis=0)
+        hi_r = np.max(np.asarray(gathered_hi), axis=0)
+    else:
+        lo_r = np.mean(np.asarray(gathered_lo), axis=0)
+        hi_r = np.mean(np.asarray(gathered_hi), axis=0)
+    return {n: [np.float64(lo_r[i]), np.float64(hi_r[i])] for i, n in enumerate(names)}
+
+
+def reduce_clip_val_spmd(local_clip, mesh, act_quant, axis="data"):
+    """Deprecated alias retained for API stability."""
+    return reduce_clip_val_collective(local_clip, act_quant)

@@ -98,7 +98,8 @@ def quant_graph(graph: GraphIR, clip_val: Dict, args):
                     qp = qparams_for_tensor(setting["qb_params"], clip_val[in_tensor])
                     q_nodes = _make_qdq_nodes(in_tensor, qp, need_transpose)
 
-            if in_tensor in g.network_inputs or in_tensor not in g.input:
+            if in_tensor in g.network_inputs or \
+                    (in_tensor not in g.input and in_tensor not in g.initializer):
                 # TRT merges the first Conv-fed input of an Add (quantize.py:80-84)
                 if args.deploy == "trt" and node.op_type == "Add" and not trt_merge_add:
                     prev = g.get_tensor_producer(in_tensor)

@@ -1,0 +1,208 @@
+"""Weight-transform / reconstruction tests on tiny hand-built models."""
+import numpy as np
+import pytest
+
+from dipoorlet_tpu import onnx_ir as oir
+from dipoorlet_tpu.graph import GraphIR
+from dipoorlet_tpu.graph.passes import simplify_graph
+from dipoorlet_tpu.runtime import Executor
+from dipoorlet_tpu.runtime.data import make_synthetic_dataset
+
+
+class Args:
+    def __init__(self, **kw):
+        self.skip_layers = []
+        self.deploy = "trt"
+        self.batch_size = 4
+        self.rank = 0
+        self.world_size = 1
+        self.we = False
+        self.drop = False
+        self.ada_bs = 4
+        self.ada_epoch = 80
+        self.acti_quant = False
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+
+def _two_conv_model(with_bn=False, seed=0):
+    rng = np.random.RandomState(seed)
+    inits = [
+        oir.array_to_tensor(rng.randn(4, 3, 3, 3).astype(np.float32) * 0.4, "w1"),
+        oir.array_to_tensor(rng.randn(4).astype(np.float32) * 0.1, "b1"),
+        oir.array_to_tensor(rng.randn(4, 4, 3, 3).astype(np.float32) * 0.4, "w2"),
+    ]
+    nodes = [
+        oir.make_node("Conv", ["x", "w1", "b1"], ["c1"], name="conv1",
+                      kernel_shape=[3, 3], pads=[1, 1, 1, 1], strides=[1, 1],
+                      dilations=[1, 1], group=1),
+        oir.make_node("Relu", ["c1"], ["r1"], name="relu1"),
+    ]
+    mid = "r1"
+    if with_bn:
+        inits += [
+            oir.array_to_tensor(np.abs(rng.randn(4)).astype(np.float32) + 0.5, "bn_s"),
+            oir.array_to_tensor(rng.randn(4).astype(np.float32) * 0.1, "bn_b"),
+            oir.array_to_tensor(rng.randn(4).astype(np.float32) * 0.1, "bn_m"),
+            oir.array_to_tensor(np.abs(rng.randn(4)).astype(np.float32) + 0.5, "bn_v"),
+        ]
+        nodes.append(oir.make_node("BatchNormalization",
+                                   ["r1", "bn_s", "bn_b", "bn_m", "bn_v"],
+                                   ["bn1"], name="bn1", epsilon=1e-5))
+        mid = "bn1"
+    nodes += [
+        oir.make_node("Conv", [mid, "w2"], ["c2"], name="conv2",
+                      kernel_shape=[3, 3], pads=[1, 1, 1, 1], strides=[1, 1],
+                      dilations=[1, 1], group=1),
+        oir.make_node("Relu", ["c2"], ["y"], name="relu2"),
+    ]
+    graph = oir.make_graph(nodes, "g",
+                           [oir.make_tensor_value_info("x", oir.DataType.FLOAT, [1, 3, 8, 8])],
+                           [oir.make_tensor_value_info("y", oir.DataType.FLOAT, [1, 4, 8, 8])],
+                           initializer=inits)
+    g = GraphIR(oir.make_model(graph))
+    simplify_graph(g)
+    return g
+
+
+@pytest.fixture(scope="module")
+def calib_env(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("wt")
+    make_synthetic_dataset(str(ws / "data"), {"x": [1, 3, 8, 8]}, 8, seed=2)
+    return str(ws / "data"), str(ws)
+
+
+def _ranges(g, data_dir, n=8):
+    from dipoorlet_tpu.calib import tensor_calibration
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=n)
+    return tensor_calibration(g, args)
+
+
+def _model_out(g, x):
+    ex = Executor(g)
+    out, _ = ex.forward(ex.init_params(), {"x": x})
+    return np.asarray(list(out.values())[0])
+
+
+def _quant_out(g, clip, args, x):
+    from dipoorlet_tpu.quant import quant_graph
+    gq, _ = quant_graph(g, clip, args)
+    ex = Executor(gq)
+    out, _ = ex.forward(ex.init_params(), {"x": x})
+    return np.asarray(list(out.values())[0])
+
+
+def test_weight_equalization_preserves_function(calib_env):
+    from dipoorlet_tpu.wtrans import weight_equalization
+    data_dir, ws = calib_env
+    g = _two_conv_model()
+    g.output_dir = ws
+    x = np.random.RandomState(5).randn(1, 3, 8, 8).astype(np.float32)
+    before = _model_out(g, x)
+    g_we = weight_equalization(g, Args())
+    after = _model_out(g_we, x)
+    np.testing.assert_allclose(after, before, rtol=1e-3, atol=1e-4)
+    # per-channel weight ranges should be more balanced after WE
+    w1 = g.get_initializer("w1")
+    w1_we = g_we.get_initializer("w1")
+    spread = lambda w: np.abs(w.reshape(4, -1)).max(1).std() / np.abs(w).max()
+    assert spread(w1_we) <= spread(w1) + 1e-6
+
+
+def test_bias_correction_reduces_mean_shift(calib_env):
+    from dipoorlet_tpu.wtrans import bias_correction
+    from dipoorlet_tpu.wtrans.common import ActivationProvider
+    data_dir, ws = calib_env
+    g = _two_conv_model(seed=1)
+    g.output_dir = ws
+    act, wt = _ranges(g, data_dir)
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=8)
+    clip = {**act, **wt}
+    g_bc = bias_correction(g, act, wt, args)
+
+    from dipoorlet_tpu.quant import quant_graph
+    prov_fp = ActivationProvider(g, args, 0, 8)
+    fp_means = prov_fp.channel_mean(["c2"])["c2"]
+
+    def q_mean(graph):
+        gq, _ = quant_graph(graph, clip, args)
+        prov = ActivationProvider(gq, args, 0, 8)
+        return prov.channel_mean(["c2"])["c2"]
+
+    err_before = np.abs(q_mean(g) - fp_means).mean()
+    err_after = np.abs(q_mean(g_bc) - fp_means).mean()
+    assert err_after <= err_before + 1e-7
+
+
+def test_update_bn_runs(calib_env):
+    from dipoorlet_tpu.wtrans import update_bn
+    data_dir, ws = calib_env
+    g = _two_conv_model(with_bn=True, seed=3)
+    g.output_dir = ws
+    act, wt = _ranges(g, data_dir)
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=8)
+    g_bn = update_bn(g, act, wt, args)
+    assert not np.allclose(g_bn.get_initializer("bn_m"), g.get_initializer("bn_m"))
+
+
+def _recon_err(g, g_after, clip, args, data_dir):
+    x = np.random.RandomState(9).randn(1, 3, 8, 8).astype(np.float32)
+    fp = _model_out(g, x)
+    q = _quant_out(g_after, clip, args, x)
+    return np.abs(fp - q).mean()
+
+
+def test_adaround_improves_reconstruction(calib_env):
+    from dipoorlet_tpu.wtrans import adaround
+    data_dir, ws = calib_env
+    g = _two_conv_model(seed=4)
+    g.output_dir = ""
+    act, wt = _ranges(g, data_dir)
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=8)
+    clip = {**act, **wt}
+    g_ada = adaround(g, g.clone(), act, wt, args)
+    # weights must be on the quant grid: w/s integral after rounding
+    from dipoorlet_tpu.quant import compute_qparams, platform_setting_table
+    w2 = g_ada.get_initializer("w2")
+    qp = compute_qparams(platform_setting_table["trt"]["qw_params"],
+                         wt["w2"][0], wt["w2"][1])
+    ratio = w2 / qp.scale_f32().reshape(-1, 1, 1, 1)
+    np.testing.assert_allclose(ratio, np.round(ratio), atol=1e-3)
+    err_near = _recon_err(g, g, clip, args, data_dir)
+    err_ada = _recon_err(g, g_ada, clip, args, data_dir)
+    # adaround should not be materially worse than nearest rounding
+    assert err_ada < err_near * 1.5
+
+
+def test_brecq_qdrop_runs(calib_env):
+    from dipoorlet_tpu.wtrans import brecq
+    data_dir, ws = calib_env
+    g = _two_conv_model(seed=6)
+    g.output_dir = ""
+    act, wt = _ranges(g, data_dir)
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=8,
+                drop=True, acti_quant=True)
+    g_b = brecq(g, g.clone(), act, wt, args)
+    assert not np.allclose(g_b.get_initializer("w1"), g.get_initializer("w1"))
+
+
+def test_sparse_quant_masks(calib_env):
+    from dipoorlet_tpu.wtrans import sparse_quant
+    from dipoorlet_tpu.wtrans.sparse import nv24_mask, unstructured_mask
+    import jax.numpy as jnp
+    w = np.random.RandomState(0).randn(8, 4, 3, 3).astype(np.float32)
+    m = np.asarray(unstructured_mask(jnp.asarray(w), 0.5))
+    assert abs(m.mean() - 0.5) < 0.02
+    m24 = np.asarray(nv24_mask(jnp.asarray(w)))
+    grouped = np.transpose(m24, (0, 2, 3, 1)).reshape(-1, 4)
+    assert (grouped.sum(1) == 2).all()
+
+    data_dir, ws = calib_env
+    g = _two_conv_model(seed=7)
+    g.output_dir = ""
+    act, wt = _ranges(g, data_dir)
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=8,
+                sparse_rate=0.5, pattern="unstruction", ada_epoch=40)
+    g_s = sparse_quant(g, g.clone(), act, wt, args)
+    w1 = g_s.get_initializer("w1")
+    assert (w1 == 0).mean() >= 0.45  # pruned
