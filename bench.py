@@ -24,6 +24,12 @@ ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 sys.path.insert(0, os.path.join(ROOT, "tools"))
 
+# keep the CPU backend available alongside the TPU: graph constant folding
+# and tiny host-side evals must never dispatch over the device tunnel
+if os.environ.get("JAX_PLATFORMS", "") == "axon":
+    import jax
+    jax.config.update("jax_platforms", "axon,cpu")
+
 CACHE = os.path.join(ROOT, ".model_cache")
 N_SAMPLES = 100
 IMG = 224
@@ -113,7 +119,9 @@ def measure_ours():
 
     model_path = ensure_model()
     data_dir = ensure_data()
+    t0 = time.time()
     g = GraphIR.load(model_path)
+    log(f"graph load+simplify: {time.time() - t0:.1f}s")
     ex = Executor(g)
     params = ex.init_params()
     dataset = CalibDataset(data_dir, ex.input_shapes(), N_SAMPLES)

@@ -1,0 +1,106 @@
+"""Pallas TPU kernels for calibration statistics.
+
+OCTAV (MSE-optimal clip, forward_net.py:323-330) is a 20-step fixed
+point whose every step needs two global reductions over |x|.  The XLA
+`lax.while_loop` formulation re-streams the tensor from HBM each
+iteration (~20-40 passes); this kernel pins the tensor in VMEM and runs
+the whole fixed point on-chip — one HBM read total.
+
+Used for tensors that fit the VMEM budget; callers fall back to the XLA
+path otherwise (calib/stats.py)."""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+# VMEM is ~16MB/core; leave room for the fixed-point temporaries.
+OCTAV_VMEM_ELEMS = 2 * 1024 * 1024  # 8MB of f32
+
+
+def _octav_kernel(n_ref, x_ref, out_ref, *, n_pad, dynamic_sym):
+    """x_ref: (R, 128) f32 (zero-padded); n_ref[0]: valid element count.
+    out_ref: (1, 3) -> (optimal_s, data_min, data_max)."""
+    x = x_ref[...]
+    n_valid = n_ref[0]
+    total = x.size
+    rows = x.shape[0]
+    flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
+                + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1))
+    valid = flat_idx < n_valid
+
+    big = jnp.float32(np.finfo(np.float32).max)
+    data_min = jnp.min(jnp.where(valid, x, big))
+    data_max = jnp.max(jnp.where(valid, x, -big))
+
+    abs_x = jnp.where(valid, jnp.abs(x), 0.0)
+    pad_count = jnp.float32(total) - n_valid.astype(jnp.float32)
+    nnz = jnp.maximum(jnp.sum((abs_x > 0).astype(jnp.float32)), 1.0)
+    s0 = jnp.sum(abs_x) / nnz
+
+    if dynamic_sym:
+        unsigned = jnp.where(jnp.abs(data_min) < 1e-6, 4.0, 1.0)
+    else:
+        unsigned = jnp.float32(1.0)
+    coef = 1.0 / (4.0 ** 8) / 3.0 / unsigned
+
+    def cond(carry):
+        s, prev, it = carry
+        return jnp.logical_and(it < 20, jnp.abs(s - prev) >= 1e-6)
+
+    def body(carry):
+        s, _, it = carry
+        gt = abs_x > s
+        gt_f = gt.astype(jnp.float32)
+        num = jnp.sum(abs_x * gt_f)
+        gt_count = jnp.sum(gt_f)
+        # zero-padded lanes land in the <=s bucket; remove them
+        le_count = jnp.float32(total) - gt_count - pad_count
+        s_next = num / jnp.maximum(coef * le_count + gt_count, 1e-30)
+        return s_next, s, it + 1
+
+    s_fin, _, _ = jax.lax.while_loop(cond, body, (s0, s0 + 1.0, jnp.int32(0)))
+    out_ref[0, 0] = s_fin
+    out_ref[0, 1] = data_min
+    out_ref[0, 2] = data_max
+
+
+@functools.partial(jax.jit, static_argnames=("dynamic_sym",))
+def octav_pallas(x, dynamic_sym: bool = False):
+    """Returns (optimal_s, data_min, data_max) scalars for tensor x.
+    Requires x.size <= OCTAV_VMEM_ELEMS."""
+    flat = x.astype(jnp.float32).ravel()
+    n = flat.size
+    rows = -(-n // LANE)
+    rows = max(rows, 8)  # min f32 tile is (8, 128)
+    pad = rows * LANE - n
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.float32)])
+    x2d = flat.reshape(rows, LANE)
+    n_arr = jnp.asarray([n], dtype=jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_octav_kernel, n_pad=pad, dynamic_sym=dynamic_sym),
+        out_shape=jax.ShapeDtypeStruct((1, 3), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(n_arr, x2d)
+    return out[0, 0], out[0, 1], out[0, 2]
+
+
+def octav_fits_vmem(shape) -> bool:
+    return int(np.prod(shape)) <= OCTAV_VMEM_ELEMS
+
+
+def use_pallas() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False

@@ -29,8 +29,12 @@ def _per_sample_minmax(name, x):
     return jnp.min(x), jnp.max(x)
 
 
-def make_octav_transform(dynamic_sym: bool):
+def make_octav_transform(dynamic_sym: bool, allow_pallas: bool = True):
     def octav(name, x):
+        if allow_pallas:
+            from .kernels import octav_fits_vmem, octav_pallas, use_pallas
+            if use_pallas() and octav_fits_vmem(x.shape):
+                return octav_pallas(x, dynamic_sym)
         xf = x.astype(jnp.float32).ravel()
         abs_x = jnp.abs(xf)
         data_min = jnp.min(xf)
@@ -62,18 +66,20 @@ def make_octav_transform(dynamic_sym: bool):
 
 
 def make_hist_transform(amax_map: Dict[str, float], bins: int):
-    """Histogram of |x| over (0, data_max) matching np.histogram semantics
-    (values == data_max fall in the last bin; all |x| <= data_max by
-    construction since data_max is the pass-1 max)."""
-    edges_map = {name: np.linspace(0.0, amax if amax > 0 else 1.0, bins + 1)[1:-1]
+    """Histogram of |x| over (0, data_max) (np.histogram semantics: values
+    == data_max land in the last, right-closed bin; |x| <= data_max holds by
+    construction since data_max is the pass-1 global max).
+
+    Binning is arithmetic (idx = floor(|x| * bins / amax), clipped): a
+    searchsorted formulation lowers to an O(elements x bins) broadcast
+    compare on TPU and is ~1000x slower; the only difference is float32
+    rounding at exact bin edges, invisible to the percentile walk."""
+    scale_map = {name: (bins / amax if amax > 0 else 0.0)
                  for name, amax in amax_map.items()}
 
     def hist(name, x):
         absx = jnp.abs(x.astype(jnp.float32).ravel())
-        # np.histogram bin assignment: searchsorted over interior edges
-        # (right-closed last bin comes out naturally)
-        edges = jnp.asarray(edges_map[name], dtype=jnp.float32)
-        idx = jnp.searchsorted(edges, absx, side="right").astype(jnp.int32)
+        idx = jnp.clip((absx * scale_map[name]).astype(jnp.int32), 0, bins - 1)
         return jnp.zeros((bins,), jnp.int32).at[idx].add(1)
 
     return hist
@@ -104,62 +110,139 @@ class StatsRunner:
             return shard_batch(batch, self.mesh)
         return batch
 
-    def _batched(self, kind, transform):
+    def _carry_fn(self, kind, transform, combine, accumulate):
+        """jitted step(params, batch, valid, carry) -> carry.
+
+        `transform(name, x)` produces per-sample per-tensor stats inside the
+        trace; `combine(taps, valid)` stacks them into a few dense arrays;
+        `accumulate(carry, update)` folds them into the device-resident
+        cross-batch carry.  The pass makes ZERO host syncs until the final
+        single device_get — per-batch result fetches are the dominant cost
+        over a remote device link.  `valid` masks padded samples so partial
+        trailing batches never trigger a recompile."""
         key = kind
         if key not in self._fns:
-            self._fns[key] = self.ex.make_batched(
-                taps=self.tensor_names, tap_transform=transform, outputs=())
+            names = self.tensor_names
+
+            def single(params, inputs):
+                _, taps = self.ex.forward(params, inputs, taps=names,
+                                          tap_transform=transform, outputs=())
+                return taps
+
+            vm = jax.vmap(single, in_axes=(None, 0))
+
+            @jax.jit
+            def step(params, batch, valid, carry):
+                return accumulate(carry, combine(vm(params, batch), valid))
+
+            self._fns[key] = step
         return self._fns[key]
+
+    def _run_pass(self, step, params, dataset, batch_size, start, end, carry0):
+        """Drive a stats pass: upload batches, fold into the device carry,
+        fetch once."""
+        params = jax.device_put(params)
+        carry = jax.device_put(carry0)
+        n_total = 0
+        for batch, valid, n_valid in self._batches(dataset, batch_size, start, end):
+            carry = step(params, batch, valid, carry)
+            n_total += n_valid
+        return jax.device_get(carry), n_total
+
+    @staticmethod
+    def _pad_batch(batch, batch_size):
+        """Pad to batch_size with repeats of the last sample; returns
+        (padded_batch, valid_mask)."""
+        n = next(iter(batch.values())).shape[0]
+        valid = np.zeros(batch_size, np.float32)
+        valid[:n] = 1.0
+        if n == batch_size:
+            return batch, valid
+        out = {}
+        for k, v in batch.items():
+            pad = np.repeat(v[-1:], batch_size - n, axis=0)
+            out[k] = np.concatenate([v, pad], axis=0)
+        return out, valid
+
+    def _batches(self, dataset, batch_size, start, end):
+        for idx in dataset.iter_batches(batch_size, start, end):
+            batch, valid = self._pad_batch(dataset.load_batch(idx), batch_size)
+            yield self._place(self._stack(batch)), jnp.asarray(valid), len(idx)
 
     # -- minmax ------------------------------------------------------------
     def run_minmax(self, params, dataset, batch_size=32, start=0, end=None):
         """Returns {name: {'min': scalar, 'max': scalar}} reduced over samples."""
-        fn = self._batched("minmax", _per_sample_minmax)
-        acc = {}
-        for idx in dataset.iter_batches(batch_size, start, end):
-            batch = self._place(self._stack(dataset.load_batch(idx)))
-            _, taps = fn(params, batch)
-            taps = jax.device_get(taps)
-            for name, (mn, mx) in taps.items():
-                a = acc.setdefault(name, [np.inf, -np.inf])
-                a[0] = min(a[0], float(np.min(mn)))
-                a[1] = max(a[1], float(np.max(mx)))
-        return {name: {"min": v[0], "max": v[1]} for name, v in acc.items()}
+        names = self.tensor_names
+        big = np.float32(np.finfo(np.float32).max)
+
+        def combine(taps, valid):
+            mins = jnp.stack([jnp.min(jnp.where(valid > 0, taps[n][0], big))
+                              for n in names])
+            maxs = jnp.stack([jnp.max(jnp.where(valid > 0, taps[n][1], -big))
+                              for n in names])
+            return mins, maxs
+
+        def accumulate(carry, update):
+            return (jnp.minimum(carry[0], update[0]), jnp.maximum(carry[1], update[1]))
+
+        step = self._carry_fn("minmax", _per_sample_minmax, combine, accumulate)
+        carry0 = (np.full(len(names), big, np.float32),
+                  np.full(len(names), -big, np.float32))
+        (lo, hi), _ = self._run_pass(step, params, dataset, batch_size, start, end, carry0)
+        return {n: {"min": float(lo[i]), "max": float(hi[i])} for i, n in enumerate(names)}
 
     # -- histogram ---------------------------------------------------------
     def run_hist(self, params, dataset, stats_min_max, bins, batch_size=32, start=0, end=None):
         """Returns {name: (bins,) int64 summed histogram} (per-shard)."""
+        names = self.tensor_names
         amax_map = {name: float(max(stats_min_max[name]["max"], -stats_min_max[name]["min"]))
-                    for name in self.tensor_names}
-        fn = self._batched(f"hist{bins}", make_hist_transform(amax_map, bins))
-        acc = {}
-        for idx in dataset.iter_batches(batch_size, start, end):
-            batch = self._place(self._stack(dataset.load_batch(idx)))
-            _, taps = fn(params, batch)
-            for name, h in taps.items():
-                hsum = np.asarray(jax.device_get(jnp.sum(h, axis=0)), dtype=np.int64)
-                if name in acc:
-                    acc[name] += hsum
-                else:
-                    acc[name] = hsum
-        return acc
+                    for name in names}
+
+        def combine(taps, valid):
+            # (T, bins), padded samples masked out of the sum
+            return jnp.stack([
+                jnp.sum(taps[n] * valid[:, None].astype(taps[n].dtype), axis=0)
+                for n in names])
+
+        def accumulate(carry, update):
+            return carry + update
+
+        step = self._carry_fn(f"hist{bins}", make_hist_transform(amax_map, bins),
+                              combine, accumulate)
+        carry0 = np.zeros((len(names), bins), dtype=np.int32)
+        acc, _ = self._run_pass(step, params, dataset, batch_size, start, end, carry0)
+        acc = np.asarray(acc, dtype=np.int64)
+        return {n: acc[i] for i, n in enumerate(names)}
 
     # -- OCTAV -------------------------------------------------------------
     def run_octav(self, params, dataset, dynamic_sym, batch_size=32, start=0, end=None):
-        """Returns {name: {'optimal_s': [per-sample], 'min': m, 'max': M}}."""
-        fn = self._batched(f"octav{int(dynamic_sym)}", make_octav_transform(dynamic_sym))
-        acc = {}
-        for idx in dataset.iter_batches(batch_size, start, end):
-            batch = self._place(self._stack(dataset.load_batch(idx)))
-            _, taps = fn(params, batch)
-            taps = jax.device_get(taps)
-            for name, (s, mn, mx) in taps.items():
-                a = acc.setdefault(name, {"s_sum": 0.0, "count": 0, "min": np.inf, "max": -np.inf})
-                a["s_sum"] += float(np.sum(s))
-                a["count"] += int(np.size(s))
-                a["min"] = min(a["min"], float(np.min(mn)))
-                a["max"] = max(a["max"], float(np.max(mx)))
-        return acc
+        """Returns {name: {'s_sum':, 'count':, 'min':, 'max':}} per tensor."""
+        names = self.tensor_names
+        big = np.float32(np.finfo(np.float32).max)
+
+        def combine(taps, valid):
+            s_sum = jnp.stack([jnp.sum(taps[n][0] * valid) for n in names])
+            mins = jnp.stack([jnp.min(jnp.where(valid > 0, taps[n][1], big))
+                              for n in names])
+            maxs = jnp.stack([jnp.max(jnp.where(valid > 0, taps[n][2], -big))
+                              for n in names])
+            return s_sum, mins, maxs
+
+        def accumulate(carry, update):
+            return (carry[0] + update[0],
+                    jnp.minimum(carry[1], update[1]),
+                    jnp.maximum(carry[2], update[2]))
+
+        step = self._carry_fn(f"octav{int(dynamic_sym)}",
+                              make_octav_transform(dynamic_sym), combine, accumulate)
+        carry0 = (np.zeros(len(names), np.float32),
+                  np.full(len(names), big, np.float32),
+                  np.full(len(names), -big, np.float32))
+        (s_sum, lo, hi), count = self._run_pass(step, params, dataset, batch_size,
+                                                start, end, carry0)
+        return {n: {"s_sum": float(s_sum[i]), "count": count,
+                    "min": float(lo[i]), "max": float(hi[i])}
+                for i, n in enumerate(names)}
 
     # -- raw tensor collection (ActivationCache analogue) -------------------
     def collect(self, params, dataset, taps, batch_size=8, start=0, end=None):

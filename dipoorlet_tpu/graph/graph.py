@@ -51,6 +51,7 @@ class GraphIR:
         self.output_dir = output_dir
         self.deploy = deploy
         self.model_type = model_type
+        self.base_dir = ""  # directory of the source .onnx (external data)
 
         self.initializer: Dict[str, np.ndarray] = {}
         self._init_proto_idx: Dict[str, int] = {}
@@ -80,7 +81,14 @@ class GraphIR:
     def load(cls, path: str, output_dir: str = "", deploy: Optional[str] = None,
              model_type: Optional[str] = None, simplify: bool = True) -> "GraphIR":
         model = load_model(path)
-        g = cls(model, output_dir, deploy, model_type)
+        g = cls.__new__(cls)
+        GraphIR.__init__(g)
+        g.model = model
+        g.output_dir = output_dir
+        g.deploy = deploy
+        g.model_type = model_type
+        g.base_dir = os.path.dirname(os.path.abspath(path))
+        g._build()
         if simplify:
             from .passes import simplify_graph
             simplify_graph(g)
@@ -129,7 +137,7 @@ class GraphIR:
         self.initializer.clear()
         self._init_proto_idx.clear()
         for idx, init in enumerate(self.graph.initializer):
-            self.initializer[init.name] = tensor_to_array(init)
+            self.initializer[init.name] = tensor_to_array(init, self.base_dir)
             self._init_proto_idx[init.name] = idx
 
     def topologize_graph(self):
@@ -283,10 +291,35 @@ class GraphIR:
         g.copy_from(self)
         return g
 
-    def save_onnx_model(self, name: str = "tmp"):
+    def save_onnx_model(self, name: str = "tmp", size_threshold: int = 2048):
+        """Transformer-scale models (model_type set) spill big initializers
+        to a sidecar external-data file (reference utils.py:182-190)."""
         path = os.path.join(self.output_dir, f"{name}.onnx")
+        if self.model_type is not None:
+            self._convert_to_external_data(f"{name}.data", size_threshold)
         save_model(self.model, path)
         return path
+
+    def _convert_to_external_data(self, location: str, size_threshold: int):
+        from ..onnx_ir import StringStringEntryProto
+        data_path = os.path.join(self.output_dir, location)
+        offset = 0
+        with open(data_path, "wb") as f:
+            for init in self.graph.initializer:
+                if len(init.raw_data) <= size_threshold:
+                    continue
+                raw = init.raw_data
+                f.write(raw)
+                init.raw_data = b""
+                init.data_location = 1
+                entries = []
+                for key, value in (("location", location), ("offset", str(offset)),
+                                   ("length", str(len(raw)))):
+                    e = StringStringEntryProto()
+                    e.key, e.value = key, value
+                    entries.append(e)
+                init.external_data = entries
+                offset += len(raw)
 
     # -- traversal helpers ---------------------------------------------------
     def topo_sort(self) -> List[NodeProto]:

@@ -22,9 +22,23 @@ _ELIDE = {"Identity", "Dropout"}
 _NO_FOLD = {"ConstantOfShape"} - {"ConstantOfShape"}
 
 
+def _cpu_device():
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def _np_eval(fn, ctx, args):
-    """Evaluate an op on host numpy values via jax (concrete, not traced)."""
-    out = fn(ctx, *args)
+    """Evaluate an op on host values. Pinned to the CPU backend when
+    available — folding must never dispatch tiny eager ops to a (possibly
+    remote) accelerator."""
+    cpu = _cpu_device()
+    if cpu is not None:
+        with jax.default_device(cpu):
+            out = fn(ctx, *args)
+    else:
+        out = fn(ctx, *args)
     if isinstance(out, tuple):
         return tuple(np.asarray(o) for o in out)
     return np.asarray(out)
@@ -150,10 +164,19 @@ def simplify_graph(graph: GraphIR, fold_constants: bool = True) -> GraphIR:
             tracer_args.pop()
         ctx = OpContext(attrs, node=node, statics=statics, opset=opset)
 
-        def _absfn(*xs):
-            return fn(ctx, *xs)
+        # static (host) operands must be closed over, NOT passed through
+        # eval_shape (which would abstract them into tracers)
+        dyn_idx = [i for i, a in enumerate(tracer_args)
+                   if isinstance(a, jax.ShapeDtypeStruct)]
+        fixed = list(tracer_args)
 
-        abstract = jax.eval_shape(_absfn, *tracer_args)
+        def _absfn(*dyn):
+            full = list(fixed)
+            for i, v in zip(dyn_idx, dyn):
+                full[i] = v
+            return fn(ctx, *full)
+
+        abstract = jax.eval_shape(_absfn, *[tracer_args[i] for i in dyn_idx])
         outs = abstract if isinstance(abstract, tuple) else (abstract,)
         for out_name, av in zip(node.output, outs):
             if not out_name:

@@ -41,13 +41,26 @@ ONNX_TO_NP = {v: k for k, v in NP_TO_ONNX.items()}
 ONNX_TO_NP[DataType.BFLOAT16] = np.dtype(np.uint16)
 
 
-def tensor_to_array(tensor: TensorProto) -> np.ndarray:
-    """onnx.numpy_helper.to_array equivalent."""
+def tensor_to_array(tensor: TensorProto, base_dir: str = "") -> np.ndarray:
+    """onnx.numpy_helper.to_array equivalent (incl. external data)."""
     dt = tensor.data_type
     shape = tuple(tensor.dims)
     np_dtype = ONNX_TO_NP.get(dt)
     if np_dtype is None:
         raise ValueError(f"unsupported tensor data_type {dt} for {tensor.name!r}")
+    if tensor.data_location == 1:  # EXTERNAL
+        info = {e.key: e.value for e in tensor.external_data}
+        location = info.get("location")
+        if location is None:
+            raise ValueError(f"external tensor {tensor.name!r} missing location")
+        import os
+        path = os.path.join(base_dir, location)
+        offset = int(info.get("offset", 0) or 0)
+        length = info.get("length")
+        with open(path, "rb") as f:
+            f.seek(offset)
+            data = f.read(int(length)) if length else f.read()
+        return np.frombuffer(data, dtype=np_dtype).reshape(shape).copy()
     if tensor.raw_data:
         arr = np.frombuffer(tensor.raw_data, dtype=np_dtype)
         return arr.reshape(shape).copy()

@@ -44,6 +44,17 @@ def _cos_from_stats(dot, na, nb):
     return dot / math.sqrt(na) / math.sqrt(nb)
 
 
+def _snr_db_from_stats(dot, na, nb):
+    """SNR(dB) of quantized vs fp: 10*log10(|a|^2 / |a-b|^2), from the same
+    sufficient statistics (|a-b|^2 = na + nb - 2*dot)."""
+    noise = max(na + nb - 2.0 * dot, 0.0)
+    if noise <= 0:
+        return float("inf")
+    if na <= 0:
+        return 0.0
+    return 10.0 * math.log10(na / noise)
+
+
 def get_output_single_map(graph: GraphIR):
     single = {}
     for out in graph.network_outputs:
@@ -83,24 +94,24 @@ def quantize_profiling_multipass(graph_after_wt: GraphIR, graph_ori: GraphIR,
     for name in graph_after_wt.network_outputs:
         out_map[name] = name + DQ_SUFFIX if name + DQ_SUFFIX in q_tensor_names else name
 
+    out_names = [n for n in out_map if not single[n]]
+    raw_names = [n for n in out_map if single[n]]
+
     def profile_one(fp_p, q_p, inputs):
         _, fp_taps = fp_ex.forward(fp_p, inputs, taps=prof_tensors + list(out_map), outputs=())
         _, q_taps = q_ex.forward(q_p, inputs, taps=prof_tensors + list(out_map.values()), outputs=())
-        layer_stats = {}
-        for name in prof_tensors:
-            a = fp_taps[name].astype(jnp.float32).ravel()
-            b = q_taps[name].astype(jnp.float32).ravel()
-            layer_stats[name] = (jnp.vdot(a, b), jnp.vdot(a, a), jnp.vdot(b, b))
-        out_stats = {}
-        out_raw = {}
-        for name, qname in out_map.items():
-            a = fp_taps[name].astype(jnp.float32)
-            b = q_taps[qname].astype(jnp.float32)
-            if single[name]:
-                out_raw[name] = (a, b)
-            else:
-                af, bf = a.ravel(), b.ravel()
-                out_stats[name] = (jnp.vdot(af, bf), jnp.vdot(af, af), jnp.vdot(bf, bf))
+
+        def cos_stats(names, q_name_fn):
+            rows = []
+            for name in names:
+                a = fp_taps[name].astype(jnp.float32).ravel()
+                b = q_taps[q_name_fn(name)].astype(jnp.float32).ravel()
+                rows.append(jnp.stack([jnp.vdot(a, b), jnp.vdot(a, a), jnp.vdot(b, b)]))
+            return jnp.stack(rows) if rows else jnp.zeros((0, 3))
+
+        layer_stats = cos_stats(prof_tensors, lambda n: n)      # (L, 3)
+        out_stats = cos_stats(out_names, lambda n: out_map[n])  # (O, 3)
+        out_raw = {name: (fp_taps[name], q_taps[out_map[name]]) for name in raw_names}
         return layer_stats, out_stats, out_raw
 
     batched = jax.jit(jax.vmap(profile_one, in_axes=(None, None, 0)))
@@ -113,6 +124,7 @@ def quantize_profiling_multipass(graph_after_wt: GraphIR, graph_ori: GraphIR,
     rank_data_size = rank_ed - rank_st
 
     layer_cos_sum: Dict[str, float] = {n: 0.0 for n in prof_tensors}
+    layer_snr_sum: Dict[str, float] = {n: 0.0 for n in prof_tensors}
     model_cos: Dict[str, list] = {}
     raw_acc: Dict[str, list] = {name: [] for name in out_map if single[name]}
     fp_out_dump: Dict[str, list] = {}
@@ -123,14 +135,16 @@ def quantize_profiling_multipass(graph_after_wt: GraphIR, graph_ori: GraphIR,
         batch = dataset.load_batch(idx)
         layer_stats, out_stats, out_raw = jax.device_get(batched(fp_params, q_params, batch))
         nb = len(idx)
-        for name in prof_tensors:
-            dots, nas, nbs = layer_stats[name]
+        # layer_stats: (B, L, 3); out_stats: (B, O, 3)
+        for li, name in enumerate(prof_tensors):
             for i in range(nb):
-                layer_cos_sum[name] += _cos_from_stats(float(dots[i]), float(nas[i]), float(nbs[i]))
-        for name in out_stats:
-            dots, nas, nbs = out_stats[name]
+                dot, na, nb_ = layer_stats[i, li]
+                layer_cos_sum[name] += _cos_from_stats(float(dot), float(na), float(nb_))
+                layer_snr_sum[name] += _snr_db_from_stats(float(dot), float(na), float(nb_))
+        for oi, name in enumerate(out_names):
             for i in range(nb):
-                c = _cos_from_stats(float(dots[i]), float(nas[i]), float(nbs[i]))
+                dot, na, nb_ = out_stats[i, oi]
+                c = _cos_from_stats(float(dot), float(na), float(nb_))
                 if name not in model_cos:
                     model_cos[name] = [c, c]
                 else:
@@ -157,6 +171,11 @@ def quantize_profiling_multipass(graph_after_wt: GraphIR, graph_ori: GraphIR,
         sample_idx += nb
 
     layer_cosine_dict = {k: v / rank_data_size for k, v in layer_cos_sum.items()}
+    if rank == 0 and getattr(args, "output_dir", None):
+        import json
+        with open(os.path.join(args.output_dir, "layer_snr.json"), "w") as f:
+            json.dump({k: v / rank_data_size for k, v in layer_snr_sum.items()},
+                      f, indent=4)
     model_cosine_dict = {}
     for name in out_map:
         if single[name]:

@@ -41,13 +41,21 @@ class CalibDataset:
         return out
 
     def load_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
-        """Returns dict name -> (B, *shape) stacked batch."""
-        batches = {name: np.empty((len(indices),) + shape, dtype=np.float32)
-                   for name, shape in self.input_shapes.items()}
-        for i, idx in enumerate(indices):
-            sample = self.load_sample(idx)
-            for name in batches:
-                batches[name][i] = sample[name]
+        """Returns dict name -> (B, *shape) stacked batch.
+
+        Uses the native C++ threaded loader (runtime/native_loader.py) when
+        available; falls back to per-sample numpy reads."""
+        from .native_loader import load_batch_native
+        batches = {}
+        for name, shape in self.input_shapes.items():
+            arr = load_batch_native(self.input_dir, name, shape, indices)
+            if arr is None:
+                arr = np.empty((len(indices),) + shape, dtype=np.float32)
+                for i, idx in enumerate(indices):
+                    arr[i] = np.fromfile(
+                        os.path.join(self.input_dir, name, f"{idx}.bin"),
+                        dtype=np.float32).reshape(shape)
+            batches[name] = arr
         return batches
 
     def iter_batches(self, batch_size: int, start: int = 0, end: int = None):
