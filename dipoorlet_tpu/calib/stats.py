@@ -131,17 +131,59 @@ class StatsRunner:
 
             vm = jax.vmap(single, in_axes=(None, 0))
 
-            @jax.jit
-            def step(params, batch, valid, carry):
+            def step_raw(params, batch, valid, carry):
                 return accumulate(carry, combine(vm(params, batch), valid))
 
-            self._fns[key] = step
+            self._fns[key] = (jax.jit(step_raw), step_raw)
+        return key
+
+    # datasets up to this many bytes are uploaded once and scanned on device
+    DEVICE_RESIDENT_BYTES = 2 << 30
+
+    def _dataset_device_cache(self, dataset, batch_size, start, end):
+        """Upload the shard once as {name: (NB, B, *shape)} + valid (NB, B)."""
+        key = ("data", batch_size, start, end)
+        if key not in self._fns:
+            chunks = {name: [] for name in dataset.input_shapes}
+            valids = []
+            for batch, valid, _n in self._batches(dataset, batch_size, start, end):
+                for name in chunks:
+                    chunks[name].append(batch[name])
+                valids.append(np.asarray(valid))
+            data = {name: jax.device_put(np.stack(v)) for name, v in chunks.items()}
+            valid = jax.device_put(np.stack(valids).astype(np.float32))
+            self._fns[key] = (data, valid)
         return self._fns[key]
 
-    def _run_pass(self, step, params, dataset, batch_size, start, end, carry0):
-        """Drive a stats pass: upload batches, fold into the device carry,
-        fetch once."""
+    def _scan_fn(self, kind):
+        key = (kind, "scan")
+        if key not in self._fns:
+            _, step_raw = self._fns[kind]
+
+            @jax.jit
+            def pass_fn(params, data, valids, carry0):
+                def body(carry, xs):
+                    return step_raw(params, xs[0], xs[1], carry), None
+                carry, _ = jax.lax.scan(body, carry0, (data, valids))
+                return carry
+            self._fns[key] = pass_fn
+        return self._fns[key]
+
+    def _run_pass(self, kind, params, dataset, batch_size, start, end, carry0):
+        """Drive a stats pass.  Small shards are uploaded once and scanned
+        entirely on device (one dispatch + one fetch); large shards stream
+        per batch into a device-resident carry."""
         params = jax.device_put(params)
+        end_ = dataset.num if end is None else end
+        n_total = max(0, end_ - start)
+        shard_bytes = n_total * sum(
+            4 * int(np.prod(s)) for s in dataset.input_shapes.values())
+        if self.mesh is None and 0 < shard_bytes <= self.DEVICE_RESIDENT_BYTES:
+            data, valids = self._dataset_device_cache(dataset, batch_size, start, end)
+            pass_fn = self._scan_fn(kind)
+            carry = pass_fn(params, data, valids, jax.device_put(carry0))
+            return jax.device_get(carry), n_total
+        step = self._fns[kind][0]
         carry = jax.device_put(carry0)
         n_total = 0
         for batch, valid, n_valid in self._batches(dataset, batch_size, start, end):
@@ -185,10 +227,10 @@ class StatsRunner:
         def accumulate(carry, update):
             return (jnp.minimum(carry[0], update[0]), jnp.maximum(carry[1], update[1]))
 
-        step = self._carry_fn("minmax", _per_sample_minmax, combine, accumulate)
+        kind = self._carry_fn("minmax", _per_sample_minmax, combine, accumulate)
         carry0 = (np.full(len(names), big, np.float32),
                   np.full(len(names), -big, np.float32))
-        (lo, hi), _ = self._run_pass(step, params, dataset, batch_size, start, end, carry0)
+        (lo, hi), _ = self._run_pass(kind, params, dataset, batch_size, start, end, carry0)
         return {n: {"min": float(lo[i]), "max": float(hi[i])} for i, n in enumerate(names)}
 
     # -- histogram ---------------------------------------------------------
@@ -207,10 +249,10 @@ class StatsRunner:
         def accumulate(carry, update):
             return carry + update
 
-        step = self._carry_fn(f"hist{bins}", make_hist_transform(amax_map, bins),
+        kind = self._carry_fn(f"hist{bins}", make_hist_transform(amax_map, bins),
                               combine, accumulate)
         carry0 = np.zeros((len(names), bins), dtype=np.int32)
-        acc, _ = self._run_pass(step, params, dataset, batch_size, start, end, carry0)
+        acc, _ = self._run_pass(kind, params, dataset, batch_size, start, end, carry0)
         acc = np.asarray(acc, dtype=np.int64)
         return {n: acc[i] for i, n in enumerate(names)}
 
@@ -233,12 +275,12 @@ class StatsRunner:
                     jnp.minimum(carry[1], update[1]),
                     jnp.maximum(carry[2], update[2]))
 
-        step = self._carry_fn(f"octav{int(dynamic_sym)}",
+        kind = self._carry_fn(f"octav{int(dynamic_sym)}",
                               make_octav_transform(dynamic_sym), combine, accumulate)
         carry0 = (np.zeros(len(names), np.float32),
                   np.full(len(names), big, np.float32),
                   np.full(len(names), -big, np.float32))
-        (s_sum, lo, hi), count = self._run_pass(step, params, dataset, batch_size,
+        (s_sum, lo, hi), count = self._run_pass(kind, params, dataset, batch_size,
                                                 start, end, carry0)
         return {n: {"s_sum": float(s_sum[i]), "count": count,
                     "min": float(lo[i]), "max": float(hi[i])}

@@ -14,9 +14,8 @@ import jax.numpy as jnp
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .common import (ActivationProvider, LEARNABLE_LAYER_TYPES, follow_relu,
-                     make_layer_apply, quantized_input_name, shard_bounds,
-                     weight_qparams_for_node)
-from .reconstruct import LayerSpec, hard_round_weight, learn_block
+                     quantized_input_name, shard_bounds, weight_qparams_for_node)
+from .reconstruct import LayerSpec, hard_round_weight, learn_block, node_signature
 from .weight_equalization import node_has_equalized
 
 
@@ -28,7 +27,7 @@ def _build_layer_spec(graph, graph_src, node, clip_val, args, relu_flag, acti_qp
     transposed = node.op_type == "ConvTranspose"
     w_t = np.swapaxes(weight, 0, 1) if transposed else weight
     qp, per_channel = weight_qparams_for_node(node, clip_val, args)
-    return LayerSpec(apply=make_layer_apply(node), weight=jnp.asarray(w_t), bias=bias,
+    return LayerSpec(node_sig=node_signature(node), weight=jnp.asarray(w_t), bias=bias,
                      qp=qp, per_channel=per_channel, transposed=transposed,
                      relu=relu_flag, acti_qp=acti_qp)
 

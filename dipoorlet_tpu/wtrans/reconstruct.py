@@ -4,31 +4,37 @@
 Reference: adaround.py:119-144 / brecq.py:158-200 — a torch Adam loop
 over 5000 epochs with DDP gradient allreduce per step.
 
-TPU-first design: the ENTIRE training loop (epochs x minibatches) runs
-on-device inside a single jitted lax.scan — no per-step host dispatch.
-Data parallelism comes from sharding the cached activation batch over
-the mesh's data axis; XLA inserts the gradient psum in the backward pass
-(replacing DDP/NCCL).  One compile per layer-shape class."""
+TPU-first design:
+  * the ENTIRE training loop (epochs x minibatches) runs on-device inside
+    a single jitted lax.scan — no per-step host dispatch;
+  * the trainer is ONE module-level jitted function whose static key is
+    the block's structural signature, so identically-shaped layers (most
+    of a ResNet) reuse the compiled program instead of recompiling
+    (SURVEY §7 "shape-bucketing");
+  * data parallelism = shard the cached activation batch over the mesh's
+    data axis; XLA inserts the gradient psum in the backward pass
+    (replacing DDP/NCCL)."""
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import List, NamedTuple, Optional
+from functools import lru_cache, partial
+from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
 
+from ..graph.graph import node_attrs
+from ..ops import OP_REGISTRY, OpContext
 from ..quant.qparams import QParams
 from ..utils.logging import logger
 from .rounding import (adaround_reg, hard_quant_weight, init_round_mask,
-                       l2_recon_loss, rectified_sigmoid, soft_quant_weight,
-                       weight_rest)
+                       rectified_sigmoid, soft_quant_weight, weight_rest)
 
 
 class LayerSpec(NamedTuple):
-    apply: callable                 # apply(x, w, b) in ONNX layouts
+    node_sig: tuple                 # hashable (op_type, attrs) signature
     weight: jnp.ndarray             # quant layout (transposed for ConvTranspose)
     bias: Optional[jnp.ndarray]
     qp: QParams
@@ -38,26 +44,115 @@ class LayerSpec(NamedTuple):
     acti_qp: Optional[QParams]      # activation fake-quant (BRECQ/QDrop)
 
 
+def node_signature(node) -> tuple:
+    """Hashable structural signature of a node (op_type + attributes)."""
+    items = []
+    for k, v in sorted(node_attrs(node).items()):
+        if isinstance(v, (list, tuple)):
+            v = tuple(v)
+        elif isinstance(v, (bytes, int, float, str)):
+            pass
+        else:
+            v = repr(v)
+        items.append((k, v))
+    return (node.op_type, tuple(items))
+
+
+@lru_cache(maxsize=None)
+def _apply_from_sig(sig: tuple):
+    op_type, items = sig
+    attrs = {k: (list(v) if isinstance(v, tuple) else v) for k, v in items}
+    fn = OP_REGISTRY[op_type]
+    ctx = OpContext(attrs)
+
+    def apply(x, w, b=None):
+        if b is None:
+            return fn(ctx, x, w)
+        return fn(ctx, x, w, b)
+
+    return apply
+
+
 def _to_onnx_layout(w, transposed):
     return jnp.swapaxes(w, 0, 1) if transposed else w
 
 
-def _layer_forward(spec: LayerSpec, mask, x, acti_quant: bool, drop_ratio: float, key):
-    w_q = soft_quant_weight(spec.weight, mask, spec.qp.scale, spec.qp.q_min,
-                            spec.qp.q_max, spec.per_channel)
-    out = spec.apply(x, _to_onnx_layout(w_q, spec.transposed), spec.bias)
-    if spec.relu:
+class _BlockSig(NamedTuple):
+    layers: tuple      # per-layer (node_sig, transposed, relu, per_channel, has_bias, has_acti)
+    batch_size: int
+    n_batches: int
+    total_iter: int
+    acti_quant: bool
+    drop: bool
+
+
+def _layer_forward(sig_entry, mask, x, w, b, scale, q_min, q_max, acti, drop_ratio, key):
+    node_sig, transposed, relu, per_channel, has_bias, has_acti = sig_entry
+    apply = _apply_from_sig(node_sig)
+    w_q = soft_quant_weight(w, mask, scale, q_min, q_max, per_channel)
+    out = apply(x, _to_onnx_layout(w_q, transposed), b if has_bias else None)
+    if relu:
         out = jnp.maximum(out, 0)
-    if acti_quant and spec.acti_qp is not None:
-        s = jnp.asarray(spec.acti_qp.scale, jnp.float32)
-        lo = jnp.asarray(spec.acti_qp.q_min, jnp.float32)
-        hi = jnp.asarray(spec.acti_qp.q_max, jnp.float32)
-        oq = jnp.clip(jnp.round(out / s), lo, hi) * s
+    if acti is not None and has_acti:
+        a_scale, a_lo, a_hi = acti
+        oq = jnp.clip(jnp.round(out / a_scale), a_lo, a_hi) * a_scale
         if drop_ratio < 1.0:
             keep = jax.random.uniform(key, out.shape) < drop_ratio
             oq = jnp.where(keep, oq, out)
         out = oq
     return out
+
+
+@partial(jax.jit, static_argnames=("bsig",))
+def _train_block(bsig: _BlockSig, weights, biases, wq, actis, masks0,
+                 q_in, fp_out, fp_in, valid, seed):
+    """Run the full reconstruction loop on device; returns (masks, losses)."""
+    tx = optax.adam(1e-3)  # torch.optim.Adam defaults (adaround.py:120)
+    opt_state = tx.init(masks0)
+    root_key = jax.random.PRNGKey(seed)
+    bs = bsig.batch_size
+    n_batches = bsig.n_batches
+    drop_ratio = 0.5
+
+    def body(carry, it):
+        masks, opt_state = carry
+        b_idx = it % n_batches
+        st = b_idx * bs
+        x0 = jax.lax.dynamic_slice_in_dim(q_in, st, bs)
+        tgt = jax.lax.dynamic_slice_in_dim(fp_out, st, bs)
+        w_mask = jax.lax.dynamic_slice_in_dim(valid, st, bs)
+        it_key = jax.random.fold_in(root_key, it)
+        if bsig.drop:
+            xf = jax.lax.dynamic_slice_in_dim(fp_in, st, bs)
+            keep = jax.random.uniform(jax.random.fold_in(it_key, 9999), x0.shape) < 0.5
+            x0 = jnp.where(keep, x0, xf)
+
+        def full_loss(masks):
+            out = x0
+            for li, entry in enumerate(bsig.layers):
+                k = jax.random.fold_in(it_key, li)
+                acti = actis[li] if bsig.acti_quant else None
+                out = _layer_forward(entry, masks[li], out, weights[li], biases[li],
+                                     wq[li][0], wq[li][1], wq[li][2],
+                                     acti, drop_ratio, k)
+            se = jnp.sum(jnp.square(out - tgt), axis=1)
+            wgt = w_mask.reshape((-1,) + (1,) * (se.ndim - 1))
+            l2 = jnp.sum(se * wgt) / jnp.maximum(
+                jnp.sum(w_mask) * np.prod(se.shape[1:]), 1.0)
+            reg = 0.0
+            for m in masks:
+                reg = reg + adaround_reg(m, it.astype(jnp.float32),
+                                         float(bsig.total_iter))
+            return l2 + reg, l2
+
+        (_, l2), grads = jax.value_and_grad(full_loss, has_aux=True)(masks)
+        updates, opt_state = tx.update(grads, opt_state)
+        masks = optax.apply_updates(masks, updates)
+        return (masks, opt_state), l2
+
+    (masks, _), losses = jax.lax.scan(body, (masks0, opt_state),
+                                      jnp.arange(bsig.total_iter))
+    return masks, losses
 
 
 def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
@@ -67,80 +162,59 @@ def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
                 data_sharding=None):
     """Returns the list of learned round masks (device arrays).
 
-    q_in/fp_out: (N, *declared_shape) with the declared leading batch dim
-    squeezed away by the caller (reference squeezes dim 1, adaround.py:128).
-    """
+    q_in/fp_out: (N, *shape) with the declared batch dim already squeezed
+    (reference squeezes dim 1, adaround.py:128)."""
     n = q_in.shape[0]
     n_batches = max(1, math.ceil(n / batch_size))
     pad = n_batches * batch_size - n
-    drop_ratio = 0.5
 
     def pad0(a):
         if pad:
             a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
         return a
 
-    q_in_d = jnp.asarray(pad0(q_in))
-    fp_out_d = jnp.asarray(pad0(fp_out))
-    fp_in_d = jnp.asarray(pad0(fp_in)) if fp_in is not None else None
+    def place(a):
+        a = jnp.asarray(a)
+        if data_sharding is not None:
+            a = jax.device_put(a, data_sharding)
+        return a
+
+    q_in_d = place(pad0(q_in))
+    fp_out_d = place(pad0(fp_out))
+    fp_in_d = place(pad0(fp_in)) if fp_in is not None else q_in_d
     valid = jnp.asarray(pad0(np.ones((n,), np.float32)))
-    if data_sharding is not None:
-        q_in_d = jax.device_put(q_in_d, data_sharding)
-        fp_out_d = jax.device_put(fp_out_d, data_sharding)
-        if fp_in_d is not None:
-            fp_in_d = jax.device_put(fp_in_d, data_sharding)
 
+    layers_sig = tuple(
+        (s.node_sig, s.transposed, s.relu, s.per_channel, s.bias is not None,
+         s.acti_qp is not None)
+        for s in specs)
+    bsig = _BlockSig(layers=layers_sig, batch_size=batch_size, n_batches=n_batches,
+                     total_iter=int(total_iter), acti_quant=acti_quant, drop=drop)
+
+    weights = tuple(s.weight for s in specs)
+    biases = tuple((s.bias if s.bias is not None else jnp.zeros((1,), jnp.float32))
+                   for s in specs)
+    wq = tuple((jnp.asarray(s.qp.scale, jnp.float32),
+                jnp.asarray(s.qp.q_min, jnp.float32),
+                jnp.asarray(s.qp.q_max, jnp.float32)) for s in specs)
+    actis = tuple(((jnp.asarray(s.acti_qp.scale, jnp.float32),
+                    jnp.asarray(s.acti_qp.q_min, jnp.float32),
+                    jnp.asarray(s.acti_qp.q_max, jnp.float32))
+                   if s.acti_qp is not None else
+                   (jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0)))
+                  for s in specs)
     masks0 = tuple(init_round_mask(weight_rest(s.weight, s.qp.scale)) for s in specs)
-    tx = optax.adam(1e-3)  # torch.optim.Adam defaults (adaround.py:120)
-    opt_state = tx.init(masks0)
-    root_key = jax.random.PRNGKey(seed)
 
-    def body(carry, it):
-        masks, opt_state = carry
-        b_idx = it % n_batches
-        st = b_idx * batch_size
-        x = jax.lax.dynamic_slice_in_dim(q_in_d, st, batch_size)
-        tgt = jax.lax.dynamic_slice_in_dim(fp_out_d, st, batch_size)
-        w = jax.lax.dynamic_slice_in_dim(valid, st, batch_size)
-        it_key = jax.random.fold_in(root_key, it)
-        if drop and fp_in_d is not None:
-            xf = jax.lax.dynamic_slice_in_dim(fp_in_d, st, batch_size)
-            keep = jax.random.uniform(jax.random.fold_in(it_key, 9999), x.shape) < 0.5
-            x = jnp.where(keep, x, xf)
-
-        def full_loss(masks):
-            out = x
-            for li, spec in enumerate(specs):
-                k = jax.random.fold_in(it_key, li)
-                out = _layer_forward(spec, masks[li], out, acti_quant, drop_ratio, k)
-            se = jnp.sum(jnp.square(out - tgt), axis=1)
-            wgt = w.reshape((-1,) + (1,) * (se.ndim - 1))
-            l2 = jnp.sum(se * wgt) / jnp.maximum(jnp.sum(w) * np.prod(se.shape[1:]), 1.0)
-            reg = 0.0
-            for m in masks:
-                reg = reg + adaround_reg(m, it.astype(jnp.float32), float(total_iter))
-            return l2 + reg, l2
-
-        (loss, l2), grads = jax.value_and_grad(full_loss, has_aux=True)(masks)
-        updates, opt_state = tx.update(grads, opt_state)
-        masks = optax.apply_updates(masks, updates)
-        return (masks, opt_state), l2
-
-    @jax.jit
-    def train(masks, opt_state):
-        (masks, opt_state), losses = jax.lax.scan(
-            body, (masks, opt_state), jnp.arange(total_iter))
-        return masks, losses
-
-    masks, losses = train(masks0, opt_state)
+    masks, losses = _train_block(bsig, weights, biases, wq, actis, masks0,
+                                 q_in_d, fp_out_d, fp_in_d, valid,
+                                 jnp.int32(seed))
     final_l2 = float(losses[-1])
     for m in masks:
         h = np.asarray(rectified_sigmoid(m))
         ceil_n = int((h + 1e-4 >= 1.0).sum())
         floor_n = int((h <= 1e-4).sum())
         logger.info("L2 Loss: %.3f Ceil: %d Floor: %d Total: %d Ratio: %.3f",
-                    final_l2, ceil_n, floor_n, h.size,
-                    (ceil_n + floor_n) / h.size)
+                    final_l2, ceil_n, floor_n, h.size, (ceil_n + floor_n) / h.size)
     return list(masks)
 
 

@@ -22,7 +22,7 @@ from ..utils.logging import logger
 from .adaround import _build_layer_spec
 from .common import (ActivationProvider, LEARNABLE_LAYER_TYPES, follow_relu,
                      quantized_input_name, shard_bounds)
-from .reconstruct import _to_onnx_layout
+from .reconstruct import _apply_from_sig, _to_onnx_layout
 from .weight_equalization import node_has_equalized
 
 
@@ -139,9 +139,11 @@ def _learn_sparse(spec, q_in, fp_out, batch_size, max_epoch, sparse_info):
     w0 = spec.weight
     opt_state = tx.init(w0)
 
+    apply = _apply_from_sig(spec.node_sig)
+
     def forward(w, x):
         wq = quant_weight_ste(prune_weight(w, sparse_info), spec.qp, spec.per_channel)
-        out = spec.apply(x, _to_onnx_layout(wq, spec.transposed), spec.bias)
+        out = apply(x, _to_onnx_layout(wq, spec.transposed), spec.bias)
         if spec.relu:
             out = jnp.maximum(out, 0)
         return out
