@@ -108,14 +108,16 @@ def main(argv=None):
     tensor_range = copy.deepcopy(act_clip_val)
 
     if world_size > 1:
-        save_clip_val(act_clip_val, weight_clip_val, args,
+        # merge per-process clip values over DCN collectives (semantics of
+        # utils.py:326-345); rank files still written as artifacts
+        from .parallel import reduce_clip_val_collective
+        save_clip_val(copy.deepcopy(act_clip_val), copy.deepcopy(weight_clip_val), args,
                       act_fname=f"act_clip_val.json.rank{rank}",
                       weight_fname=f"weight_clip_val.json.rank{rank}")
-        _barrier()
+        act_clip_val = reduce_clip_val_collective(act_clip_val, args.act_quant)
         if rank == 0:
-            reduce_clip_val(world_size, args)
+            save_clip_val(copy.deepcopy(act_clip_val), copy.deepcopy(weight_clip_val), args)
         _barrier()
-        act_clip_val, weight_clip_val = load_clip_val(args)
     else:
         save_clip_val(copy.deepcopy(act_clip_val), copy.deepcopy(weight_clip_val), args)
 
