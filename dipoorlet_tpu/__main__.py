@@ -52,6 +52,10 @@ def build_parser():
     parser.add_argument("--quant_format", default="QDQ", type=str, choices=["QOP", "QDQ"])
     parser.add_argument("--batch_size", help="Device batch size for calibration forwards.",
                         type=int, default=16)
+    parser.add_argument("--w_bit", help="Override platform weight bit width (e.g. 4).",
+                        type=int, default=None)
+    parser.add_argument("--a_bit", help="Override platform activation bit width (e.g. 4).",
+                        type=int, default=None)
     parser.add_argument("--cpu", help="Force CPU backend (testing).", action="store_true")
     parser.add_argument("--multihost", help="Initialize jax.distributed for multi-host runs.",
                         action="store_true")

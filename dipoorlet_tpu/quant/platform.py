@@ -97,3 +97,22 @@ platform_setting_table = {
 # Per-platform layers excluded from deployment (platform_settings.py "deploy_exclude_layers")
 for _name in ("trt", "stpu", "magicmind", "rv", "snpe", "ti", "imx"):
     platform_setting_table[_name].setdefault("deploy_exclude_layers", [])
+
+
+def effective_setting(args) -> dict:
+    """Platform settings with optional CLI bit-width overrides
+    (--w_bit/--a_bit): the reference pins 8-bit in its table; low-bit
+    (W4A8/W4A4) reconstruction runs need this extension."""
+    setting = platform_setting_table[args.deploy]
+    w_bit = getattr(args, "w_bit", None)
+    a_bit = getattr(args, "a_bit", None)
+    if not w_bit and not a_bit:
+        return setting
+    setting = {k: (dict(v) if isinstance(v, dict) else v) for k, v in setting.items()}
+    if w_bit:
+        setting["qw_params"]["bit_width"] = int(w_bit)
+        if "qb_params" in setting:
+            setting["qb_params"]["bit_width"] = int(w_bit)
+    if a_bit:
+        setting["qi_params"]["bit_width"] = int(a_bit)
+    return setting

@@ -62,7 +62,8 @@ def _make_qdq_nodes(tensor_name: str, qp: QParams, need_transpose: bool):
 def quant_graph(graph: GraphIR, clip_val: Dict, args):
     """Returns (graph_q, quant_node_list)."""
     g = graph.clone()
-    setting = platform_setting_table[args.deploy]
+    from .platform import effective_setting
+    setting = effective_setting(args)
     skip = set(getattr(args, "skip_layers", []) or [])
 
     quant_node_list = [n for n in g.graph.node

@@ -69,7 +69,8 @@ def weight_qparams_for_node(node, clip_val, args):
     """scale/qmin/qmax tensors for a learnable node's weight, in the
     (possibly transposed) layout used during training
     (weight_transform/utils.py:29-51)."""
-    qw_param = platform_setting_table[args.deploy]["qw_params"]
+    from ..quant.platform import effective_setting
+    qw_param = effective_setting(args)["qw_params"]
     weight_range = clip_val[node.input[1]]
     qp = compute_qparams(qw_param, weight_range[0], weight_range[1])
     return qp, bool(qw_param.get("per_channel", False))
@@ -78,7 +79,8 @@ def weight_qparams_for_node(node, clip_val, args):
 def acti_qparams_for_node(graph, node, clip_val, args):
     """Activation quant params at the node's (post-relu) output
     (brecq.py:96-110)."""
-    qi_param = platform_setting_table[args.deploy]["qi_params"]
+    from ..quant.platform import effective_setting
+    qi_param = effective_setting(args)["qi_params"]
     out_node = following_relu(graph, node) if follow_relu(graph, node) else node
     acti_range = clip_val[out_node.output[0]]
     qp = compute_qparams(qi_param, acti_range[0], acti_range[1])

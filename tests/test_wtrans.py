@@ -206,3 +206,33 @@ def test_sparse_quant_masks(calib_env):
     g_s = sparse_quant(g, g.clone(), act, wt, args)
     w1 = g_s.get_initializer("w1")
     assert (w1 == 0).mean() >= 0.45  # pruned
+
+
+def test_adaround_w4_beats_nearest(calib_env):
+    """At W4, learned rounding must beat nearest rounding on recon error."""
+    from dipoorlet_tpu.wtrans import adaround
+    data_dir, ws = calib_env
+    g = _two_conv_model(seed=11)
+    g.output_dir = ""
+    act, wt = _ranges(g, data_dir)
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=8,
+                w_bit=4, ada_epoch=200)
+    clip = {**act, **wt}
+    g_ada = adaround(g, g.clone(), act, wt, args)
+    errs = []
+    for graph in (g, g_ada):
+        x = np.random.RandomState(9).randn(4, 1, 3, 8, 8).astype(np.float32)
+        from dipoorlet_tpu.quant import quant_graph
+        gq, _ = quant_graph(graph, clip, args)
+        exq = Executor(gq)
+        exf = Executor(g)
+        import jax
+        fq = exq.make_batched()
+        ff = exf.make_batched()
+        out_q, _ = fq(exq.init_params(), {"x": x})
+        out_f, _ = ff(exf.init_params(), {"x": x})
+        q = np.asarray(list(out_q.values())[0])
+        f = np.asarray(list(out_f.values())[0])
+        errs.append(float(np.abs(q - f).mean()))
+    nearest_err, ada_err = errs
+    assert ada_err <= nearest_err * 1.05, (nearest_err, ada_err)
