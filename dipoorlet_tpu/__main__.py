@@ -29,7 +29,7 @@ def build_parser():
     parser.add_argument("--brecq", help="BrecQ", action="store_true")
     parser.add_argument("--drop", help="QDrop", action="store_true")
     parser.add_argument("-A", "--act_quant", help="algorithm of activation quantization",
-                        choices=["minmax", "hist", "mse"], default="mse")
+                        choices=["minmax", "hist", "mse", "kl"], default="mse")
     parser.add_argument("-D", "--deploy", help="deploy platform",
                         choices=["trt", "stpu", "magicmind", "rv", "atlas", "snpe", "ti", "imx"],
                         required=True)

@@ -80,6 +80,20 @@ def find_clip_val_hist(graph, args, store_stats=None, **kwargs):
     return clip_val
 
 
+@tensor_cali_dispatcher.register("kl")
+def find_clip_val_kl(graph, args, **kwargs):
+    """TensorRT-style entropy calibration over the on-device histograms."""
+    from .kl import find_clip_val_kl_from_hists
+    bins = int(args.bins)
+    st, ed = _shard_bounds(args)
+    runner, params, dataset = _runner(graph, args)
+    stats_min_max = runner.run_minmax(params, dataset, batch_size=args.batch_size,
+                                      start=st, end=ed)
+    hists = runner.run_hist(params, dataset, stats_min_max, bins,
+                            batch_size=args.batch_size, start=st, end=ed)
+    return find_clip_val_kl_from_hists(hists, stats_min_max, bins)
+
+
 @tensor_cali_dispatcher.register("mse")
 def find_clip_val_octav(graph, args, **kwargs):
     runner, params, dataset = _runner(graph, args)

@@ -135,3 +135,35 @@ def test_octav_matches_oracle(small_model):
             maxs.append(x.max())
         expected = [max(min(mins), -np.mean(s_list)), min(max(maxs), np.mean(s_list))]
         np.testing.assert_allclose(act[name], expected, rtol=1e-4)
+
+
+def test_kl_calibration(small_model):
+    g, data_dir = small_model
+    args = Args(act_quant="kl", input_dir=data_dir, data_num=10, bins=256)
+    from dipoorlet_tpu.calib.algorithms import tensor_cali_dispatcher
+    act = tensor_cali_dispatcher("kl", g, args)
+    names, per_sample = _all_sample_tensors(g, data_dir)
+    for name in names:
+        mn = min(s[name].min() for s in per_sample)
+        mx = max(s[name].max() for s in per_sample)
+        lo, hi = act[name]
+        # clip inside observed range, nonetheless covering most mass
+        assert mn - 1e-6 <= lo <= 0 <= hi <= mx + 1e-6
+        assert hi >= 0.3 * mx  # KL clip should not collapse
+
+
+def test_kl_threshold_outlier_vs_gaussian():
+    from dipoorlet_tpu.calib.kl import kl_optimal_threshold
+    # distribution with a huge outlier tail bin: clip should drop it
+    hist = np.zeros(256, dtype=np.int64)
+    hist[:128] = 1000
+    hist[255] = 1
+    i = kl_optimal_threshold(hist)
+    assert 128 <= i <= 192
+    # half-gaussian |x| histogram: clip keeps the body of the mass
+    rng = np.random.RandomState(0)
+    g = np.abs(rng.randn(200000))
+    gh, _ = np.histogram(g, 256, (0, g.max()))
+    i = kl_optimal_threshold(gh.astype(np.int64))
+    covered = gh[:i].sum() / gh.sum()
+    assert covered >= 0.95
