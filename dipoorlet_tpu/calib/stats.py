@@ -173,12 +173,17 @@ class StatsRunner:
         """Drive a stats pass.  Small shards are uploaded once and scanned
         entirely on device (one dispatch + one fetch); large shards stream
         per batch into a device-resident carry."""
+        import os
         params = jax.device_put(params)
         end_ = dataset.num if end is None else end
         n_total = max(0, end_ - start)
         shard_bytes = n_total * sum(
             4 * int(np.prod(s)) for s in dataset.input_shapes.values())
-        if self.mesh is None and 0 < shard_bytes <= self.DEVICE_RESIDENT_BYTES:
+        # The whole-pass lax.scan amortizes dispatch to one call, but its
+        # compile has proven pathologically slow on the remote-compile
+        # service; opt-in until that stabilizes.
+        use_scan = os.environ.get("DIPOORLET_TPU_SCAN_CALIB", "0") == "1"
+        if use_scan and self.mesh is None and 0 < shard_bytes <= self.DEVICE_RESIDENT_BYTES:
             data, valids = self._dataset_device_cache(dataset, batch_size, start, end)
             pass_fn = self._scan_fn(kind)
             carry = pass_fn(params, data, valids, jax.device_put(carry0))

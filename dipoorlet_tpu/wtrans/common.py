@@ -138,8 +138,9 @@ class ActivationProvider:
             batch = self.dataset.load_batch(idx)
             _, taps = fn(self.params, batch)
             for n in tensor_names:
-                chunks[n].append(np.asarray(jax.device_get(taps[n])))
-        return {n: np.concatenate(v, axis=0) for n, v in chunks.items()}
+                chunks[n].append(taps[n])
+        # stay on device: these feed the on-device reconstruction loop
+        return {n: jnp.concatenate(v, axis=0) for n, v in chunks.items()}
 
     def channel_mean(self, tensor_names, spatial_axes=True) -> Dict[str, np.ndarray]:
         """Per-channel mean over samples (and spatial dims) — the Bias

@@ -169,12 +169,12 @@ def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
     pad = n_batches * batch_size - n
 
     def pad0(a):
+        a = jnp.asarray(a)  # device-side padding; inputs may already live on device
         if pad:
-            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
         return a
 
     def place(a):
-        a = jnp.asarray(a)
         if data_sharding is not None:
             a = jax.device_put(a, data_sharding)
         return a

@@ -120,12 +120,13 @@ def _learn_sparse(spec, q_in, fp_out, batch_size, max_epoch, sparse_info):
     pad = n_batches * batch_size - n
 
     def pad0(a):
+        a = jnp.asarray(a)
         if pad:
-            a = np.concatenate([a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
         return a
 
-    q_in_d = jnp.asarray(pad0(q_in))
-    fp_out_d = jnp.asarray(pad0(fp_out))
+    q_in_d = pad0(q_in)
+    fp_out_d = pad0(fp_out)
     valid = jnp.asarray(pad0(np.ones((n,), np.float32)))
     total_iter = max_epoch * n_batches
 

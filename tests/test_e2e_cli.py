@@ -64,3 +64,19 @@ def test_qop_export(workspace):
     m = load_model(os.path.join(out, "qop_model.onnx"))
     ops = {n.op_type for n in m.graph.node}
     assert "QLinearConv" in ops
+
+
+def test_adaround_cli(workspace):
+    out = run_cli(workspace, "out_ada", ["-A", "minmax", "-D", "trt",
+                                        "--adaround", "--ada_epoch", "5",
+                                        "--ada_bs", "4"])
+    assert os.path.exists(os.path.join(out, "adaround.onnx"))
+    model_cos = json.load(open(os.path.join(out, "model_res.json.rank0")))
+    assert model_cos["output"][0] > 0.98
+
+
+def test_brecq_w4_cli(workspace):
+    out = run_cli(workspace, "out_brecq", ["-A", "minmax", "-D", "trt",
+                                           "--brecq", "--drop", "--ada_epoch", "3",
+                                           "--ada_bs", "4", "--w_bit", "4"])
+    assert os.path.exists(os.path.join(out, "brecq.onnx"))
