@@ -80,3 +80,19 @@ def test_brecq_w4_cli(workspace):
                                            "--brecq", "--drop", "--ada_epoch", "3",
                                            "--ada_bs", "4", "--w_bit", "4"])
     assert os.path.exists(os.path.join(out, "brecq.onnx"))
+
+
+def test_eval_agreement_tool(workspace):
+    import subprocess, sys
+    env = dict(os.environ)
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "tools",
+                                      "eval_agreement.py"),
+         "-M", str(workspace / "model.onnx"), "-I", str(workspace / "data"),
+         "-N", "8", "-D", "trt", "-A", "minmax", "--batch_size", "4", "--cpu"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["n"] == 8
+    assert res["agreement"] >= 0.5  # INT8 should rarely flip predictions
+    assert res["avg_cos"] > 0.99
