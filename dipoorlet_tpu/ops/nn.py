@@ -264,3 +264,25 @@ def lrn(ctx, x):
                                ((0, 0),) * (x.ndim - 1) + ((lo, hi),))
     window = jnp.moveaxis(window, -1, 1)
     return x / jnp.power(bias + alpha / size * window, beta)
+
+
+@register("GroupNormalization")
+def group_norm(ctx, x, scale, bias):
+    eps = ctx.attrs.get("epsilon", 1e-5)
+    groups = ctx.attrs["num_groups"]
+    n, c = x.shape[0], x.shape[1]
+    xg = x.reshape((n, groups, c // groups) + x.shape[2:])
+    axes = tuple(range(2, xg.ndim))
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    y = ((xg - mean) * lax.rsqrt(var + eps)).reshape(x.shape)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    return (y * scale.reshape(shape) + bias.reshape(shape)).astype(x.dtype)
+
+
+@register("Einsum")
+def einsum(ctx, *xs):
+    eq = ctx.attrs["equation"]
+    if isinstance(eq, bytes):
+        eq = eq.decode()
+    return jnp.einsum(eq, *xs, preferred_element_type=jnp.float32).astype(xs[0].dtype)

@@ -223,3 +223,21 @@ def test_matmul_lrn(rng):
     ref = F.local_response_norm(torch.from_numpy(x), 5, 1e-4, 0.75, 1.0).numpy()
     assert_close(run_op("LRN", {"size": 5, "alpha": 1e-4, "beta": 0.75, "bias": 1.0}, x),
                  ref, tol=1e-5)
+
+
+def test_group_norm(rng):
+    x = rng.randn(2, 8, 5, 5).astype(np.float32)
+    scale = rng.rand(8).astype(np.float32) + 0.5
+    bias = rng.randn(8).astype(np.float32)
+    ref = F.group_norm(torch.from_numpy(x), 4, torch.from_numpy(scale),
+                       torch.from_numpy(bias)).numpy()
+    got = run_op("GroupNormalization", {"num_groups": 4, "epsilon": 1e-5},
+                 x, scale, bias)
+    assert_close(got, ref, tol=1e-4)
+
+
+def test_einsum(rng):
+    a = rng.randn(2, 3, 4).astype(np.float32)
+    b = rng.randn(2, 4, 5).astype(np.float32)
+    got = run_op("Einsum", {"equation": b"bij,bjk->bik"}, a, b)
+    assert_close(got, np.einsum("bij,bjk->bik", a, b), tol=1e-5)
