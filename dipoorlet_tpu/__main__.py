@@ -105,6 +105,14 @@ def main(argv=None):
     start = time.time()
     onnx_graph = GraphIR.load(args.model, output_dir=args.output_dir,
                               deploy=args.deploy, model_type=args.model_type)
+    if rank == 0 and not args.optim_transformer:
+        from .graph import validate_graph
+        try:
+            validate_graph(onnx_graph)
+        except ValueError as e:
+            logger.info("The onnx model is invalid: %s, please rectify your model "
+                        "and restart dipoorlet_tpu.", e)
+            sys.exit(1)
 
     if rank == 0:
         logger.info("Do tensor calibration...")

@@ -350,3 +350,27 @@ class GraphIR:
         if [n.name for n in order] != [n.name for n in self.graph.node]:
             self.graph.node = order
             self.set_index()
+
+
+def validate_graph(g: "GraphIR"):
+    """Light model validation (replaces onnx.checker.check_model at
+    reference __main__.py:105-110): every node input must be produced by
+    some node, be a graph input, or be an initializer; node names unique."""
+    produced = set(g.network_inputs) | set(g.initializer)
+    for node in g.graph.node:
+        produced.update(o for o in node.output if o)
+    problems = []
+    seen_names = set()
+    for node in g.graph.node:
+        if node.name in seen_names:
+            problems.append(f"duplicate node name: {node.name}")
+        seen_names.add(node.name)
+        for inp in node.input:
+            if inp and inp not in produced:
+                problems.append(f"node {node.name} consumes unknown tensor '{inp}'")
+    for out in g.network_outputs:
+        if out not in produced:
+            problems.append(f"network output '{out}' is never produced")
+    if problems:
+        raise ValueError("invalid model: " + "; ".join(problems[:10]))
+    return True
