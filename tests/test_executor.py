@@ -11,7 +11,7 @@ from dipoorlet_tpu.runtime import Executor
 from torch_export import MODEL_ZOO, export
 
 
-@pytest.fixture(scope="module", params=["resnet18", "mobilenet_v2"])
+@pytest.fixture(scope="module", params=["resnet18", "mobilenet_v2", "regnet_600m", "resnet50"])
 def model_pair(request, tmp_path_factory):
     name = request.param
     torch.manual_seed(0)
