@@ -244,18 +244,36 @@ class StatsRunner:
         names = self.tensor_names
         amax_map = {name: float(max(stats_min_max[name]["max"], -stats_min_max[name]["min"]))
                     for name in names}
+        scale_map = {name: (bins / amax if amax > 0 else 0.0)
+                     for name, amax in amax_map.items()}
+        offsets = {n: i * bins for i, n in enumerate(names)}
+        total_bins = len(names) * bins
 
-        def combine(taps, valid):
-            # (T, bins), padded samples masked out of the sum
-            return jnp.stack([
-                jnp.sum(taps[n] * valid[:, None].astype(taps[n].dtype), axis=0)
-                for n in names])
+        # fused binning: every tensor's bucket index is offset into one
+        # (T*bins) space so each sample costs ONE scatter-add — per-tensor
+        # scatters pay T kernel launches per batch
+        def fused_hist(params_, inputs):
+            _, taps = self.ex.forward(params_, inputs, taps=names, outputs=())
+            idxs = []
+            for n in names:
+                absx = jnp.abs(taps[n].astype(jnp.float32).ravel())
+                idx = jnp.clip((absx * scale_map[n]).astype(jnp.int32), 0, bins - 1)
+                idxs.append(idx + offsets[n])
+            all_idx = jnp.concatenate(idxs)
+            return jnp.zeros((total_bins,), jnp.int32).at[all_idx].add(1)
 
-        def accumulate(carry, update):
-            return carry + update
+        kind = f"hist{bins}"
+        if kind not in self._fns:
+            vm = jax.vmap(fused_hist, in_axes=(None, 0))
+            n_names = len(names)
 
-        kind = self._carry_fn(f"hist{bins}", make_hist_transform(amax_map, bins),
-                              combine, accumulate)
+            def step_raw(params_, batch, valid, carry):
+                per_sample = vm(params_, batch)  # (B, T*bins)
+                update = jnp.sum(per_sample * valid[:, None].astype(per_sample.dtype),
+                                 axis=0)
+                return carry + update.reshape(n_names, bins)
+
+            self._fns[kind] = (jax.jit(step_raw), step_raw)
         carry0 = np.zeros((len(names), bins), dtype=np.int32)
         acc, _ = self._run_pass(kind, params, dataset, batch_size, start, end, carry0)
         acc = np.asarray(acc, dtype=np.int64)
