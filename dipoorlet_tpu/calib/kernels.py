@@ -25,7 +25,7 @@ OCTAV_VMEM_ELEMS = 2 * 1024 * 1024  # 8MB of f32
 
 def _octav_kernel(n_ref, x_ref, out_ref, *, n_pad, dynamic_sym):
     """x_ref: (R, 128) f32 (zero-padded); n_ref[0]: valid element count.
-    out_ref: (1, 3) -> (optimal_s, data_min, data_max)."""
+    out_ref: SMEM (3,) -> (optimal_s, data_min, data_max)."""
     x = x_ref[...]
     n_valid = n_ref[0]
     total = x.size
@@ -65,9 +65,10 @@ def _octav_kernel(n_ref, x_ref, out_ref, *, n_pad, dynamic_sym):
         return s_next, s, it + 1
 
     s_fin, _, _ = jax.lax.while_loop(cond, body, (s0, s0 + 1.0, jnp.int32(0)))
-    out_ref[0, 0] = s_fin
-    out_ref[0, 1] = data_min
-    out_ref[0, 2] = data_max
+    # scalar stores are SMEM-only on TPU (Mosaic rejects scalar VMEM stores)
+    out_ref[0] = s_fin
+    out_ref[1] = data_min
+    out_ref[2] = data_max
 
 
 @functools.partial(jax.jit, static_argnames=("dynamic_sym",))
@@ -85,14 +86,14 @@ def octav_pallas(x, dynamic_sym: bool = False):
     n_arr = jnp.asarray([n], dtype=jnp.int32)
     out = pl.pallas_call(
         functools.partial(_octav_kernel, n_pad=pad, dynamic_sym=dynamic_sym),
-        out_shape=jax.ShapeDtypeStruct((1, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3,), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
     )(n_arr, x2d)
-    return out[0, 0], out[0, 1], out[0, 2]
+    return out[0], out[1], out[2]
 
 
 def octav_fits_vmem(shape) -> bool:

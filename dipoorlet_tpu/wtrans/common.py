@@ -136,9 +136,15 @@ class ActivationProvider:
         chunks = {n: [] for n in tensor_names}
         for idx in self.dataset.iter_batches(self.batch_size, self.st, self.ed):
             batch = self.dataset.load_batch(idx)
+            n_valid = len(idx)
+            if n_valid < self.batch_size:
+                # pad to the fixed batch shape (no recompile), slice after
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], self.batch_size - n_valid, axis=0)], axis=0)
+                    for k, v in batch.items()}
             _, taps = fn(self.params, batch)
             for n in tensor_names:
-                chunks[n].append(taps[n])
+                chunks[n].append(taps[n][:n_valid])
         # stay on device: these feed the on-device reconstruction loop
         return {n: jnp.concatenate(v, axis=0) for n, v in chunks.items()}
 
