@@ -29,7 +29,13 @@ def _per_sample_minmax(name, x):
     return jnp.min(x), jnp.max(x)
 
 
-def make_octav_transform(dynamic_sym: bool, allow_pallas: bool = True):
+def make_octav_transform(dynamic_sym: bool, allow_pallas: bool = None):
+    if allow_pallas is None:
+        # opt-in: the VMEM-resident kernel is faster per pass, but remote
+        # Mosaic compiles have proven unreliable on this relay
+        import os
+        allow_pallas = os.environ.get("DIPOORLET_TPU_PALLAS", "0") == "1"
+
     def octav(name, x):
         if allow_pallas:
             from .kernels import octav_fits_vmem, octav_pallas, use_pallas
