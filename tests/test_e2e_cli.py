@@ -96,3 +96,22 @@ def test_eval_agreement_tool(workspace):
     assert res["n"] == 8
     assert res["agreement"] >= 0.5  # INT8 should rarely flip predictions
     assert res["avg_cos"] > 0.99
+
+
+def test_qop_model_executes(workspace):
+    """The QOperator export must itself run and approximate the FP model."""
+    import numpy as np
+    from dipoorlet_tpu.graph import GraphIR
+    from dipoorlet_tpu.runtime import Executor
+    out = str(workspace / "out_qop")
+    qop = GraphIR.load(os.path.join(out, "qop_model.onnx"), simplify=False)
+    fp = GraphIR.load(str(workspace / "model.onnx"))
+    ex_q = Executor(qop)
+    ex_f = Executor(fp)
+    x = np.random.RandomState(3).randn(1, 3, 32, 32).astype(np.float32)
+    oq, _ = ex_q.forward(ex_q.init_params(), {"input": x})
+    of, _ = ex_f.forward(ex_f.init_params(), {"input": x})
+    a = np.asarray(oq[qop.network_outputs[0]]).ravel()
+    b = np.asarray(of[fp.network_outputs[0]]).ravel()
+    cos = float(np.dot(a, b) / np.linalg.norm(a) / np.linalg.norm(b))
+    assert cos > 0.98, cos
