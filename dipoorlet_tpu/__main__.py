@@ -68,6 +68,11 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    elif os.environ.get("JAX_PLATFORMS", "") == "axon":
+        # keep the CPU backend available so constant folding / host evals
+        # never dispatch eagerly over the device tunnel
+        import jax
+        jax.config.update("jax_platforms", "axon,cpu")
 
     if args.multihost:
         import jax
