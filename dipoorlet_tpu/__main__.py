@@ -59,6 +59,12 @@ def build_parser():
     parser.add_argument("--cpu", help="Force CPU backend (testing).", action="store_true")
     parser.add_argument("--multihost", help="Initialize jax.distributed for multi-host runs.",
                         action="store_true")
+    parser.add_argument("--slurm", help="Launch task from slurm (alias of --multihost; "
+                        "jax.distributed auto-detects the SLURM environment).",
+                        default=False, action="store_true")
+    parser.add_argument("--mpirun", help="Launch task from mpirun (alias of --multihost; "
+                        "jax.distributed auto-detects the OMPI environment).",
+                        default=False, action="store_true")
     return parser
 
 
@@ -74,7 +80,7 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "axon,cpu")
 
-    if args.multihost:
+    if args.multihost or args.slurm or args.mpirun:
         import jax
         jax.distributed.initialize()
 
@@ -108,6 +114,9 @@ def main(argv=None):
         setup_logger(args)
 
     start = time.time()
+    if not args.model or not os.path.exists(args.model):
+        logger.error("Model file not found: %s", args.model)
+        sys.exit(1)
     onnx_graph = GraphIR.load(args.model, output_dir=args.output_dir,
                               deploy=args.deploy, model_type=args.model_type)
     if rank == 0 and not args.optim_transformer:
