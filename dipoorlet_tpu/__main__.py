@@ -92,8 +92,8 @@ def main(argv=None):
     from .profiling import (quantize_profiling_multipass, quantize_profiling_transformer,
                             show_model_profiling_res, show_model_ranges, weight_need_perchannel)
     from .utils.logging import logger, setup_logger
-    from .utils.serialization import (load_clip_val, reduce_clip_val, reduce_profiling_res,
-                                      save_clip_val, save_profiling_res)
+    from .utils.serialization import (reduce_profiling_res, save_clip_val,
+                                      save_profiling_res)
     from .wtrans import weight_calibration
 
     rank = jax.process_index()

@@ -10,9 +10,7 @@ from typing import Dict
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
-from ..onnx_ir import array_to_tensor
 from ..onnx_ir.helper import NP_TO_ONNX
 from ..ops import OP_REGISTRY, STATIC_INPUTS, OpContext
 from .graph import GraphIR, node_attrs

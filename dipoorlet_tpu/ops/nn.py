@@ -8,7 +8,6 @@ with preferred_element_type=float32.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

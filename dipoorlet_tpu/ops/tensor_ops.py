@@ -9,7 +9,6 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-from ..onnx_ir.proto import DataType
 from ..onnx_ir.helper import ONNX_TO_NP
 from .registry import register
 

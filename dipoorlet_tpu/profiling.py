@@ -15,13 +15,13 @@ from __future__ import annotations
 import heapq
 import math
 import os
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .graph.graph import GraphIR, INPUT_TOKEN
+from .graph.graph import GraphIR
 from .quant.platform import platform_setting_table
 from .quant.quant_graph import DQ_SUFFIX, quant_graph
 from .runtime.data import CalibDataset

@@ -8,7 +8,7 @@ batch) instead of the reference's one-sample-at-a-time feed."""
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 
