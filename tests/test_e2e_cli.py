@@ -115,3 +115,20 @@ def test_qop_model_executes(workspace):
     b = np.asarray(of[fp.network_outputs[0]]).ravel()
     cos = float(np.dot(a, b) / np.linalg.norm(a) / np.linalg.norm(b))
     assert cos > 0.98, cos
+
+
+def test_savefp_and_skip_flags(workspace):
+    out = run_cli(workspace, "out_flags",
+                  ["-A", "minmax", "-D", "trt", "--savefp", "--skip_prof_layer",
+                   "--skip_layers", "/conv1/Conv"])
+    # savefp dumps fp outputs per sample
+    dump_dir = os.path.join(out, "output", "output")
+    assert os.path.isdir(dump_dir) and len(os.listdir(dump_dir)) == 8
+    # skip_prof_layer: no layer cosine file written
+    assert not os.path.exists(os.path.join(out, "layer_res.json.rank0"))
+    # skip_layers: first conv has no QDQ inserted around its weight
+    from dipoorlet_tpu.onnx_ir import load_model
+    m = load_model(os.path.join(out, "quant_model.onnx"))
+    by_name = {n.name: n for n in m.graph.node}
+    conv1 = [n for n in m.graph.node if n.op_type == "Conv"][0]
+    assert not conv1.input[1].endswith("_dq")
