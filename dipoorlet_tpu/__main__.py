@@ -56,6 +56,9 @@ def build_parser():
                         type=int, default=None)
     parser.add_argument("--a_bit", help="Override platform activation bit width (e.g. 4).",
                         type=int, default=None)
+    parser.add_argument("--bf16_calib", help="Run calibration forwards in bfloat16 "
+                        "(2x HBM bandwidth; ranges differ by bf16 rounding).",
+                        action="store_true")
     parser.add_argument("--cpu", help="Force CPU backend (testing).", action="store_true")
     parser.add_argument("--multihost", help="Initialize jax.distributed for multi-host runs.",
                         action="store_true")

@@ -36,7 +36,11 @@ def _runner(graph, args):
     ex = Executor(graph)
     params = ex.init_params()
     dataset = CalibDataset(args.input_dir, ex.input_shapes(), args.data_num)
-    runner = StatsRunner(ex)
+    compute_dtype = None
+    if getattr(args, "bf16_calib", False):
+        import jax.numpy as jnp
+        compute_dtype = jnp.bfloat16
+    runner = StatsRunner(ex, compute_dtype=compute_dtype)
     return runner, params, dataset
 
 

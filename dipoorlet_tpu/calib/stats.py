@@ -99,12 +99,28 @@ class StatsRunner:
     partial batches run replicated."""
 
     def __init__(self, executor: Executor, tensor_names: Optional[Sequence[str]] = None,
-                 mesh=None):
+                 mesh=None, compute_dtype=None):
         self.ex = executor
         self.tensor_names = list(tensor_names) if tensor_names is not None \
             else self.ex.all_tensor_names()
         self.mesh = mesh
+        # bf16 forwards halve HBM traffic; statistics stay f32. Opt-in:
+        # ranges differ from f32 by bf16 rounding (~0.4%).
+        self.compute_dtype = compute_dtype
         self._fns = {}
+
+    def _cast_params(self, params):
+        if self.compute_dtype is None:
+            return params
+        dt = self.compute_dtype
+        return {k: (v.astype(dt) if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
+                for k, v in params.items()}
+
+    def _cast_batch(self, batch):
+        if self.compute_dtype is None:
+            return batch
+        dt = self.compute_dtype
+        return {k: np.asarray(v).astype(dt) for k, v in batch.items()}
 
     def _place(self, batch):
         if self.mesh is None:
@@ -180,7 +196,7 @@ class StatsRunner:
         entirely on device (one dispatch + one fetch); large shards stream
         per batch into a device-resident carry."""
         import os
-        params = jax.device_put(params)
+        params = jax.device_put(self._cast_params(params))
         end_ = dataset.num if end is None else end
         n_total = max(0, end_ - start)
         shard_bytes = n_total * sum(
@@ -220,6 +236,7 @@ class StatsRunner:
     def _batches(self, dataset, batch_size, start, end):
         for idx in dataset.iter_batches(batch_size, start, end):
             batch, valid = self._pad_batch(dataset.load_batch(idx), batch_size)
+            batch = self._cast_batch(batch)
             yield self._place(self._stack(batch)), jnp.asarray(valid), len(idx)
 
     # -- minmax ------------------------------------------------------------

@@ -167,3 +167,15 @@ def test_kl_threshold_outlier_vs_gaussian():
     i = kl_optimal_threshold(gh.astype(np.int64))
     covered = gh[:i].sum() / gh.sum()
     assert covered >= 0.95
+
+
+def test_bf16_calibration_close_to_f32(small_model):
+    g, data_dir = small_model
+    args32 = Args(act_quant="minmax", input_dir=data_dir, data_num=10)
+    act32, _ = tensor_calibration(g, args32)
+    args16 = Args(act_quant="minmax", input_dir=data_dir, data_num=10, bf16_calib=True)
+    act16, _ = tensor_calibration(g, args16)
+    for name in act32:
+        span = max(abs(act32[name][0]), abs(act32[name][1]), 1e-6)
+        assert abs(act16[name][0] - act32[name][0]) / span < 0.02
+        assert abs(act16[name][1] - act32[name][1]) / span < 0.02
