@@ -64,6 +64,7 @@ def ensure_data():
 
 def measure_baseline():
     """Reference-architecture emulation: batch-1 forward, host numpy stats."""
+    os.makedirs(CACHE, exist_ok=True)
     cache_file = os.path.join(CACHE, "baseline.json")
     if os.path.exists(cache_file):
         return json.load(open(cache_file))["samples_per_sec"]

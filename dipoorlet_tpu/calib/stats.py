@@ -71,24 +71,24 @@ def make_octav_transform(dynamic_sym: bool, allow_pallas: bool = None):
     return octav
 
 
-def make_hist_transform(amax_map: Dict[str, float], bins: int):
-    """Histogram of |x| over (0, data_max) (np.histogram semantics: values
-    == data_max land in the last, right-closed bin; |x| <= data_max holds by
-    construction since data_max is the pass-1 global max).
+def matmul_histogram(idx, bins: int):
+    """Exact histogram of int32 bucket indices in [0, bins) as an MXU matmul.
 
-    Binning is arithmetic (idx = floor(|x| * bins / amax), clipped): a
-    searchsorted formulation lowers to an O(elements x bins) broadcast
-    compare on TPU and is ~1000x slower; the only difference is float32
-    rounding at exact bin edges, invisible to the percentile walk."""
-    scale_map = {name: (bins / amax if amax > 0 else 0.0)
-                 for name, amax in amax_map.items()}
-
-    def hist(name, x):
-        absx = jnp.abs(x.astype(jnp.float32).ravel())
-        idx = jnp.clip((absx * scale_map[name]).astype(jnp.int32), 0, bins - 1)
-        return jnp.zeros((bins,), jnp.int32).at[idx].add(1)
-
-    return hist
+    TPU scatter-add serializes on index conflicts, so `.at[idx].add(1)` over
+    millions of activations costs ~1s/batch; instead the index is split into
+    (hi, lo) digits and the counts become one int8 matmul
+    `onehot(hi)^T @ onehot(lo) -> (HI, LO) int32` — exact (s8 x s8 -> s32
+    accumulation) and rides the systolic array.  Binning itself stays
+    arithmetic (idx = floor(|x| * bins / amax)): the only difference vs
+    np.histogram's edge division is float32 rounding at exact bin edges,
+    invisible to the percentile walk."""
+    lo_n = min(32, bins)
+    hi_n = -(-bins // lo_n)
+    hi = (idx // lo_n)[:, None] == jnp.arange(hi_n, dtype=jnp.int32)
+    lo = (idx % lo_n)[:, None] == jnp.arange(lo_n, dtype=jnp.int32)
+    h = jnp.dot(hi.astype(jnp.int8).T, lo.astype(jnp.int8),
+                preferred_element_type=jnp.int32)
+    return h.reshape(-1)[:bins]
 
 
 class StatsRunner:
@@ -168,13 +168,15 @@ class StatsRunner:
         if key not in self._fns:
             chunks = {name: [] for name in dataset.input_shapes}
             valids = []
-            for batch, valid, _n in self._batches(dataset, batch_size, start, end):
+            n_total = 0
+            for batch, valid, n_valid in self._batches(dataset, batch_size, start, end):
                 for name in chunks:
                     chunks[name].append(batch[name])
                 valids.append(np.asarray(valid))
+                n_total += n_valid
             data = {name: jax.device_put(np.stack(v)) for name, v in chunks.items()}
             valid = jax.device_put(np.stack(valids).astype(np.float32))
-            self._fns[key] = (data, valid)
+            self._fns[key] = (data, valid, n_total)
         return self._fns[key]
 
     def _scan_fn(self, kind):
@@ -205,11 +207,24 @@ class StatsRunner:
         # compile has proven pathologically slow on the remote-compile
         # service; opt-in until that stabilizes.
         use_scan = os.environ.get("DIPOORLET_TPU_SCAN_CALIB", "0") == "1"
-        if use_scan and self.mesh is None and 0 < shard_bytes <= self.DEVICE_RESIDENT_BYTES:
-            data, valids = self._dataset_device_cache(dataset, batch_size, start, end)
-            pass_fn = self._scan_fn(kind)
-            carry = pass_fn(params, data, valids, jax.device_put(carry0))
-            return jax.device_get(carry), n_total
+        if self.mesh is None and 0 < shard_bytes <= self.DEVICE_RESIDENT_BYTES:
+            data, valids, n_cached = self._dataset_device_cache(dataset, batch_size,
+                                                                start, end)
+            if use_scan:
+                pass_fn = self._scan_fn(kind)
+                carry = pass_fn(params, data, valids, jax.device_put(carry0))
+                return jax.device_get(carry), n_cached
+            # default: device-resident batches through the per-batch jitted
+            # step — same compiled program as the streaming path (no new
+            # compile), but the dataset is uploaded ONCE and every pass after
+            # the first reads it straight from HBM (host->device transfer was
+            # the steady-state bottleneck over the remote device link)
+            step = self._fns[kind][0]
+            carry = jax.device_put(carry0)
+            for i in range(valids.shape[0]):
+                carry = step(params, {k: v[i] for k, v in data.items()},
+                             valids[i], carry)
+            return jax.device_get(carry), n_cached
         step = self._fns[kind][0]
         carry = jax.device_put(carry0)
         n_total = 0
@@ -269,21 +284,14 @@ class StatsRunner:
                     for name in names}
         scale_map = {name: (bins / amax if amax > 0 else 0.0)
                      for name, amax in amax_map.items()}
-        offsets = {n: i * bins for i, n in enumerate(names)}
-        total_bins = len(names) * bins
-
-        # fused binning: every tensor's bucket index is offset into one
-        # (T*bins) space so each sample costs ONE scatter-add — per-tensor
-        # scatters pay T kernel launches per batch
         def fused_hist(params_, inputs):
             _, taps = self.ex.forward(params_, inputs, taps=names, outputs=())
-            idxs = []
+            hists = []
             for n in names:
                 absx = jnp.abs(taps[n].astype(jnp.float32).ravel())
                 idx = jnp.clip((absx * scale_map[n]).astype(jnp.int32), 0, bins - 1)
-                idxs.append(idx + offsets[n])
-            all_idx = jnp.concatenate(idxs)
-            return jnp.zeros((total_bins,), jnp.int32).at[all_idx].add(1)
+                hists.append(matmul_histogram(idx, bins))
+            return jnp.concatenate(hists)
 
         kind = f"hist{bins}"
         if kind not in self._fns:

@@ -16,6 +16,11 @@ def setup_logger(args):
                  f"{_COLORS['yellow']}(%(filename)s %(lineno)d){_COLORS['reset']}"
                  ": %(levelname)s %(message)s")
     logger.setLevel(logging.INFO)
+    # idempotent: repeated CLI invocations in one process (tests, sweeps)
+    # must not stack handlers and duplicate every line
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        h.close()
     log_file = os.path.join(args.output_dir,
                             "log-{}.txt".format(time.strftime("%Y-%m-%d-%H-%M-%S")))
     with open(log_file, "w") as f:

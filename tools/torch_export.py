@@ -38,12 +38,14 @@ def _install_onnx_stub():
     sys.modules["onnx"] = stub
 
 
-def export(model: nn.Module, example: torch.Tensor, path: str, opset: int = 13):
+def export(model: nn.Module, example: torch.Tensor, path: str, opset: int = 13,
+           output_names=None):
     _install_onnx_stub()
     model.eval()
     with torch.no_grad():
         torch.onnx.export(model, (example,), path, opset_version=opset, dynamo=False,
-                          input_names=["input"], output_names=["output"])
+                          input_names=["input"],
+                          output_names=list(output_names or ["output"]))
     return path
 
 
@@ -209,19 +211,154 @@ def regnet_600m(num_classes=1000):
     return nn.Sequential(*layers)
 
 
+class UNetBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.Conv2d(cin, cout, 3, 1, 1, bias=False), nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+            nn.Conv2d(cout, cout, 3, 1, 1, bias=False), nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class UNetTiny(nn.Module):
+    """Encoder-decoder with ConvTranspose ups and skip Concats — the model
+    shape behind the reference's `--model_type unet` path (dipoorlet's
+    transformer/unet branch, /root/reference/dipoorlet/__main__.py:80-89)."""
+
+    def __init__(self, num_classes=8, width=16):
+        super().__init__()
+        w = width
+        self.enc1 = UNetBlock(3, w)
+        self.enc2 = UNetBlock(w, w * 2)
+        self.enc3 = UNetBlock(w * 2, w * 4)
+        self.pool = nn.MaxPool2d(2)
+        self.up2 = nn.ConvTranspose2d(w * 4, w * 2, 2, 2)
+        self.dec2 = UNetBlock(w * 4, w * 2)
+        self.up1 = nn.ConvTranspose2d(w * 2, w, 2, 2)
+        self.dec1 = UNetBlock(w * 2, w)
+        self.head = nn.Conv2d(w, num_classes, 1)
+
+    def forward(self, x):
+        e1 = self.enc1(x)
+        e2 = self.enc2(self.pool(e1))
+        e3 = self.enc3(self.pool(e2))
+        d2 = self.dec2(torch.cat([self.up2(e3), e2], 1))
+        d1 = self.dec1(torch.cat([self.up1(d2), e1], 1))
+        return self.head(d1)
+
+
+def unet_tiny(num_classes=8):
+    return UNetTiny(num_classes=num_classes)
+
+
+class YoloTiny(nn.Module):
+    """Two-scale anchor-style detector: strided backbone, nearest-Upsample
+    FPN with Concat, raw conv heads at strides 16/32.  Exercises the
+    Resize/Concat/multi-output quantization paths (Concat range propagation
+    in the rv emitter, multi-output profiling)."""
+
+    def __init__(self, num_classes=4, width=16, anchors=3):
+        super().__init__()
+
+        def cbl(cin, cout, k=3, s=1):
+            return nn.Sequential(nn.Conv2d(cin, cout, k, s, k // 2, bias=False),
+                                 nn.BatchNorm2d(cout), nn.LeakyReLU(0.1, inplace=True))
+
+        w = width
+        self.stem = cbl(3, w, 3, 2)                       # /2
+        self.s4 = nn.Sequential(cbl(w, w * 2, 3, 2), cbl(w * 2, w * 2))      # /4
+        self.s8 = nn.Sequential(cbl(w * 2, w * 4, 3, 2), cbl(w * 4, w * 4))  # /8
+        self.s16 = nn.Sequential(cbl(w * 4, w * 8, 3, 2), cbl(w * 8, w * 8))  # /16
+        self.s32 = nn.Sequential(cbl(w * 8, w * 16, 3, 2), cbl(w * 16, w * 16))  # /32
+        self.lat32 = cbl(w * 16, w * 4, 1)
+        self.up = nn.Upsample(scale_factor=2, mode="nearest")
+        self.fuse16 = cbl(w * 12, w * 8)
+        cout = anchors * (5 + num_classes)
+        self.head16 = nn.Conv2d(w * 8, cout, 1)
+        self.head32 = nn.Conv2d(w * 16, cout, 1)
+
+    def forward(self, x):
+        c16 = self.s16(self.s8(self.s4(self.stem(x))))
+        c32 = self.s32(c16)
+        p16 = self.fuse16(torch.cat([self.up(self.lat32(c32)), c16], 1))
+        return self.head16(p16), self.head32(c32)
+
+
+def yolo_tiny(num_classes=4):
+    return YoloTiny(num_classes=num_classes)
+
+
+class ViTBlock(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4):
+        super().__init__()
+        self.ln1 = nn.LayerNorm(dim)
+        self.ln2 = nn.LayerNorm(dim)
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+        self.mlp = nn.Sequential(nn.Linear(dim, dim * mlp_ratio), nn.GELU(),
+                                 nn.Linear(dim * mlp_ratio, dim))
+        self.heads = heads
+        self.scale = (dim // heads) ** -0.5
+
+    def forward(self, x):
+        B, N, D = x.shape
+        h = self.heads
+        qkv = self.qkv(self.ln1(x)).reshape(B, N, 3, h, D // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        att = torch.softmax(q @ k.transpose(-2, -1) * self.scale, dim=-1)
+        x = x + self.proj((att @ v).transpose(1, 2).reshape(B, N, D))
+        return x + self.mlp(self.ln2(x))
+
+
+class ViTTiny(nn.Module):
+    """Patch-conv ViT classifier (LayerNorm/MatMul/Softmax/Gelu path)."""
+
+    def __init__(self, num_classes=10, dim=96, depth=4, heads=4, patch=8, image_size=64):
+        super().__init__()
+        n_tokens = (image_size // patch) ** 2
+        self.patch = nn.Conv2d(3, dim, patch, patch)
+        self.cls = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos = nn.Parameter(torch.randn(1, n_tokens + 1, dim) * 0.02)
+        self.blocks = nn.Sequential(*[ViTBlock(dim, heads) for _ in range(depth)])
+        self.ln = nn.LayerNorm(dim)
+        self.head = nn.Linear(dim, num_classes)
+
+    def forward(self, x):
+        B = x.shape[0]
+        t = self.patch(x).flatten(2).transpose(1, 2)
+        t = torch.cat([self.cls.expand(B, -1, -1), t], 1) + self.pos
+        t = self.ln(self.blocks(t))
+        return self.head(t[:, 0])
+
+
+def vit_tiny(num_classes=10):
+    return ViTTiny(num_classes=num_classes)
+
+
 MODEL_ZOO = {
     "resnet18": resnet18,
     "resnet50": resnet50,
     "mobilenet_v2": mobilenet_v2,
     "regnet_600m": regnet_600m,
+    "unet_tiny": unet_tiny,
+    "yolo_tiny": yolo_tiny,
+    "vit_tiny": vit_tiny,
 }
+
+ZOO_OUTPUT_NAMES = {"yolo_tiny": ["p16", "p32"]}
+# native input resolution for the small families (ImageNet models use `image_size`)
+ZOO_IMAGE_SIZE = {"unet_tiny": 64, "yolo_tiny": 64, "vit_tiny": 64}
 
 
 def export_zoo_model(name: str, path: str, image_size: int = 224, num_classes: int = 1000, seed: int = 0):
     torch.manual_seed(seed)
-    model = MODEL_ZOO[name](num_classes=num_classes)
+    image_size = ZOO_IMAGE_SIZE.get(name, image_size)
+    kwargs = {} if name in ZOO_IMAGE_SIZE else {"num_classes": num_classes}
+    model = MODEL_ZOO[name](**kwargs)
     example = torch.randn(1, 3, image_size, image_size)
-    return export(model, example, path)
+    return export(model, example, path, output_names=ZOO_OUTPUT_NAMES.get(name))
 
 
 if __name__ == "__main__":
