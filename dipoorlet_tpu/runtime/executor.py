@@ -106,6 +106,18 @@ class Executor:
                 outputs: Optional[Sequence[str]] = None):
         """Single-sample forward. Traced-friendly: call under jit/vmap."""
         env = dict(inputs)
+        # cast fed inputs to the graph's declared dtypes: the calibration
+        # data format is raw float32 (reference forward_net.py:459-464), so
+        # integer-input models (token ids -> Gather embeddings) receive
+        # floats that must become indices
+        from ..onnx_ir.helper import ONNX_TO_NP
+        for name in self.graph.network_inputs:
+            if name in env:
+                want = ONNX_TO_NP.get(self.graph.get_value_type(name))
+                arr = jnp.asarray(env[name])
+                if want is not None and arr.dtype != jnp.dtype(want) \
+                        and np.issubdtype(arr.dtype, np.floating):
+                    env[name] = arr.astype(want)
         taps = set(taps)
         tap_out = {}
         want_outputs = list(outputs) if outputs is not None else list(self.graph.network_outputs)
