@@ -34,7 +34,7 @@ CACHE = os.path.join(ROOT, ".model_cache")
 N_SAMPLES = 100
 IMG = 224
 BINS = 2048
-BATCH = 16
+BATCH = int(os.environ.get("DIPOORLET_BENCH_BATCH", "16"))
 
 
 def log(*a):

@@ -43,6 +43,11 @@ def build_parser():
     parser.add_argument("--skip_prof_layer", help="Skip profiling by layer.",
                         default=False, action="store_true")
     parser.add_argument("--sparse", help="Sparse on/off", default=False, action="store_true")
+    parser.add_argument("--smooth_quant", help="SmoothQuant activation-outlier "
+                        "smoothing for LayerNorm->MatMul/Gemm groups (transformers).",
+                        action="store_true")
+    parser.add_argument("--sq_alpha", help="SmoothQuant migration strength alpha.",
+                        type=float, default=0.5)
     parser.add_argument("--sparse_rate", help="Sparse rate", type=float, default=0.5)
     parser.add_argument("--pattern", help="Sparse pattern",
                         choices=["unstruction", "nv24"], default="unstruction")

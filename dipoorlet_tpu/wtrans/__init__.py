@@ -15,6 +15,7 @@ from .adaround import adaround  # noqa: F401
 from .bias_correction import bias_correction  # noqa: F401
 from .brecq import brecq  # noqa: F401
 from .common import LEARNABLE_LAYER_TYPES, follow_relu, get_block_from_first  # noqa: F401
+from .smooth_quant import smooth_quant  # noqa: F401
 from .sparse import sparse_quant  # noqa: F401
 from .update_bn import update_bn  # noqa: F401
 from .weight_equalization import node_has_equalized, weight_equalization  # noqa: F401
@@ -24,6 +25,12 @@ def weight_calibration(onnx_graph, act_clip_val, weight_clip_val, args):
     from ..calib import find_clip_val_minmax_weight, tensor_calibration
 
     graph_after_wt = onnx_graph.clone()
+
+    if getattr(args, "smooth_quant", False):
+        graph_after_wt = smooth_quant(graph_after_wt, args)
+        update_model_path("smooth_quant_model", args)
+        logger.info("Re calibration...")
+        act_clip_val, weight_clip_val = tensor_calibration(graph_after_wt, args)
 
     if args.bc:
         graph_after_wt = bias_correction(graph_after_wt, act_clip_val, weight_clip_val, args)

@@ -23,6 +23,11 @@ def _install_onnx_stub():
     from dipoorlet_tpu import onnx_ir
 
     stub = types.ModuleType("onnx")
+    # a well-formed spec so importlib.util.find_spec("onnx") (e.g. from
+    # transformers' optional-dependency probing) doesn't raise
+    import importlib.machinery
+    stub.__spec__ = importlib.machinery.ModuleSpec("onnx", loader=None)
+    stub.__version__ = "0.0.0-dipoorlet-stub"
 
     def load_model_from_string(data):
         m = onnx_ir.load_model_from_string(data)
