@@ -61,10 +61,8 @@ def find_clip_val_hist(graph, args, store_stats=None, **kwargs):
         hists = store_stats["hist"]
     else:
         runner, params, dataset = _runner(graph, args)
-        stats_min_max = runner.run_minmax(params, dataset, batch_size=args.batch_size,
-                                          start=st, end=ed)
-        hists = runner.run_hist(params, dataset, stats_min_max, bins,
-                                batch_size=args.batch_size, start=st, end=ed)
+        stats_min_max, hists = runner.run_minmax_hist(
+            params, dataset, bins, batch_size=args.batch_size, start=st, end=ed)
     clip_val = {}
     for name, hist in hists.items():
         obs_min = stats_min_max[name]["min"]
@@ -91,10 +89,8 @@ def find_clip_val_kl(graph, args, **kwargs):
     bins = int(args.bins)
     st, ed = _shard_bounds(args)
     runner, params, dataset = _runner(graph, args)
-    stats_min_max = runner.run_minmax(params, dataset, batch_size=args.batch_size,
-                                      start=st, end=ed)
-    hists = runner.run_hist(params, dataset, stats_min_max, bins,
-                            batch_size=args.batch_size, start=st, end=ed)
+    stats_min_max, hists = runner.run_minmax_hist(
+        params, dataset, bins, batch_size=args.batch_size, start=st, end=ed)
     return find_clip_val_kl_from_hists(hists, stats_min_max, bins)
 
 

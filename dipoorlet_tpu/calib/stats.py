@@ -193,10 +193,13 @@ class StatsRunner:
             self._fns[key] = pass_fn
         return self._fns[key]
 
-    def _run_pass(self, kind, params, dataset, batch_size, start, end, carry0):
+    def _run_pass(self, kind, params, dataset, batch_size, start, end, carry0,
+                  fetch=True):
         """Drive a stats pass.  Small shards are uploaded once and scanned
         entirely on device (one dispatch + one fetch); large shards stream
-        per batch into a device-resident carry."""
+        per batch into a device-resident carry.  With fetch=False the carry
+        is returned still on device (no host sync) so a downstream pass can
+        consume it without a relay round-trip."""
         import os
         params = jax.device_put(self._cast_params(params))
         end_ = dataset.num if end is None else end
@@ -213,7 +216,7 @@ class StatsRunner:
             if use_scan:
                 pass_fn = self._scan_fn(kind)
                 carry = pass_fn(params, data, valids, jax.device_put(carry0))
-                return jax.device_get(carry), n_cached
+                return (jax.device_get(carry) if fetch else carry), n_cached
             # default: device-resident batches through the per-batch jitted
             # step — same compiled program as the streaming path (no new
             # compile), but the dataset is uploaded ONCE and every pass after
@@ -224,14 +227,14 @@ class StatsRunner:
             for i in range(valids.shape[0]):
                 carry = step(params, {k: v[i] for k, v in data.items()},
                              valids[i], carry)
-            return jax.device_get(carry), n_cached
+            return (jax.device_get(carry) if fetch else carry), n_cached
         step = self._fns[kind][0]
         carry = jax.device_put(carry0)
         n_total = 0
         for batch, valid, n_valid in self._batches(dataset, batch_size, start, end):
             carry = step(params, batch, valid, carry)
             n_total += n_valid
-        return jax.device_get(carry), n_total
+        return (jax.device_get(carry) if fetch else carry), n_total
 
     @staticmethod
     def _pad_batch(batch, batch_size):
@@ -255,10 +258,11 @@ class StatsRunner:
             yield self._place(self._stack(batch)), jnp.asarray(valid), len(idx)
 
     # -- minmax ------------------------------------------------------------
-    def run_minmax(self, params, dataset, batch_size=32, start=0, end=None):
-        """Returns {name: {'min': scalar, 'max': scalar}} reduced over samples."""
+    _BIG = np.float32(np.finfo(np.float32).max)
+
+    def _ensure_minmax(self):
         names = self.tensor_names
-        big = np.float32(np.finfo(np.float32).max)
+        big = self._BIG
 
         def combine(taps, valid):
             mins = jnp.stack([jnp.min(jnp.where(valid > 0, taps[n][0], big))
@@ -270,45 +274,92 @@ class StatsRunner:
         def accumulate(carry, update):
             return (jnp.minimum(carry[0], update[0]), jnp.maximum(carry[1], update[1]))
 
-        kind = self._carry_fn("minmax", _per_sample_minmax, combine, accumulate)
-        carry0 = (np.full(len(names), big, np.float32),
-                  np.full(len(names), -big, np.float32))
-        (lo, hi), _ = self._run_pass(kind, params, dataset, batch_size, start, end, carry0)
+        return self._carry_fn("minmax", _per_sample_minmax, combine, accumulate)
+
+    def _minmax_carry0(self):
+        n = len(self.tensor_names)
+        return (np.full(n, self._BIG, np.float32), np.full(n, -self._BIG, np.float32))
+
+    def run_minmax(self, params, dataset, batch_size=32, start=0, end=None):
+        """Returns {name: {'min': scalar, 'max': scalar}} reduced over samples."""
+        names = self.tensor_names
+        kind = self._ensure_minmax()
+        (lo, hi), _ = self._run_pass(kind, params, dataset, batch_size, start, end,
+                                     self._minmax_carry0())
         return {n: {"min": float(lo[i]), "max": float(hi[i])} for i, n in enumerate(names)}
 
     # -- histogram ---------------------------------------------------------
-    def run_hist(self, params, dataset, stats_min_max, bins, batch_size=32, start=0, end=None):
-        """Returns {name: (bins,) int64 summed histogram} (per-shard)."""
+    def _ensure_hist(self, bins):
+        """Histogram step keyed only by bin count: the per-tensor binning
+        scales ride in the carry as a traced (T,) array, so a new range set
+        (re-calibration after a weight transform, or the fused minmax→hist
+        pass) never forces a recompile."""
         names = self.tensor_names
-        amax_map = {name: float(max(stats_min_max[name]["max"], -stats_min_max[name]["min"]))
-                    for name in names}
-        scale_map = {name: (bins / amax if amax > 0 else 0.0)
-                     for name, amax in amax_map.items()}
-        def fused_hist(params_, inputs):
-            _, taps = self.ex.forward(params_, inputs, taps=names, outputs=())
-            hists = []
-            for n in names:
-                absx = jnp.abs(taps[n].astype(jnp.float32).ravel())
-                idx = jnp.clip((absx * scale_map[n]).astype(jnp.int32), 0, bins - 1)
-                hists.append(matmul_histogram(idx, bins))
-            return jnp.concatenate(hists)
-
         kind = f"hist{bins}"
         if kind not in self._fns:
-            vm = jax.vmap(fused_hist, in_axes=(None, 0))
+            def fused_hist(params_, inputs, scales):
+                _, taps = self.ex.forward(params_, inputs, taps=names, outputs=())
+                hists = []
+                for i, n in enumerate(names):
+                    absx = jnp.abs(taps[n].astype(jnp.float32).ravel())
+                    idx = jnp.clip((absx * scales[i]).astype(jnp.int32), 0, bins - 1)
+                    hists.append(matmul_histogram(idx, bins))
+                return jnp.concatenate(hists)
+
+            vm = jax.vmap(fused_hist, in_axes=(None, 0, None))
             n_names = len(names)
 
             def step_raw(params_, batch, valid, carry):
-                per_sample = vm(params_, batch)  # (B, T*bins)
+                acc, scales = carry
+                per_sample = vm(params_, batch, scales)  # (B, T*bins)
                 update = jnp.sum(per_sample * valid[:, None].astype(per_sample.dtype),
                                  axis=0)
-                return carry + update.reshape(n_names, bins)
+                return acc + update.reshape(n_names, bins), scales
 
             self._fns[kind] = (jax.jit(step_raw), step_raw)
-        carry0 = np.zeros((len(names), bins), dtype=np.int32)
-        acc, _ = self._run_pass(kind, params, dataset, batch_size, start, end, carry0)
+        return kind
+
+    def _hist_result(self, acc):
         acc = np.asarray(acc, dtype=np.int64)
-        return {n: acc[i] for i, n in enumerate(names)}
+        return {n: acc[i] for i, n in enumerate(self.tensor_names)}
+
+    def run_hist(self, params, dataset, stats_min_max, bins, batch_size=32, start=0, end=None):
+        """Returns {name: (bins,) int64 summed histogram} (per-shard)."""
+        names = self.tensor_names
+        amax = np.array([max(stats_min_max[n]["max"], -stats_min_max[n]["min"])
+                         for n in names], np.float32)
+        scales = np.where(amax > 0, bins / amax, 0.0).astype(np.float32)
+        kind = self._ensure_hist(bins)
+        carry0 = (np.zeros((len(names), bins), dtype=np.int32), scales)
+        (acc, _), _ = self._run_pass(kind, params, dataset, batch_size, start, end, carry0)
+        return self._hist_result(acc)
+
+    def run_minmax_hist(self, params, dataset, bins, batch_size=32, start=0, end=None):
+        """Fused two-phase calibration: the minmax pass and the |x|-histogram
+        pass in one call with a SINGLE host sync at the very end.
+
+        The reference needs two separate full passes with the ranges
+        round-tripping through host numpy between them
+        (forward_net.py:240-281: forward_get_minmax then forward_get_hist).
+        Here the minmax carry stays on device, the binning scales are derived
+        from it with on-device arithmetic, and the histogram pass consumes
+        them as a traced carry element — over a remote device link this
+        halves the blocking round-trips of `-A hist` / `-A kl` calibration.
+
+        Returns (stats_min_max_dict, hists_dict)."""
+        names = self.tensor_names
+        mm_kind = self._ensure_minmax()
+        (lo, hi), _ = self._run_pass(mm_kind, params, dataset, batch_size, start, end,
+                                     self._minmax_carry0(), fetch=False)
+        amax = jnp.maximum(jnp.asarray(hi), -jnp.asarray(lo))
+        scales = jnp.where(amax > 0, bins / amax, 0.0).astype(jnp.float32)
+        kind = self._ensure_hist(bins)
+        carry0 = (jnp.zeros((len(names), bins), dtype=jnp.int32), scales)
+        (acc, _), _ = self._run_pass(kind, params, dataset, batch_size, start, end,
+                                     carry0, fetch=False)
+        lo, hi, acc = jax.device_get((lo, hi, acc))
+        stats = {n: {"min": float(lo[i]), "max": float(hi[i])} for i, n in enumerate(names)}
+        return stats, self._hist_result(acc)
 
     # -- OCTAV -------------------------------------------------------------
     def run_octav(self, params, dataset, dynamic_sym, batch_size=32, start=0, end=None):

@@ -61,6 +61,25 @@ def test_sharded_stats_match_unsharded(tmp_path):
         np.testing.assert_array_equal(h_got[name], h_ref[name])
 
 
+def test_fused_minmax_hist_matches_two_pass(tmp_path):
+    """run_minmax_hist (single host sync) must equal run_minmax + run_hist."""
+    g = _model()
+    ex = Executor(g)
+    params = ex.init_params()
+    data_dir = str(tmp_path / "d")
+    make_synthetic_dataset(data_dir, {"x": [1, 3, 8, 8]}, 12, seed=9)
+    ds = CalibDataset(data_dir, ex.input_shapes(), 12)
+
+    runner = StatsRunner(ex)
+    stats_ref = runner.run_minmax(params, ds, batch_size=8)
+    h_ref = runner.run_hist(params, ds, stats_ref, 64, batch_size=8)
+    stats_got, h_got = runner.run_minmax_hist(params, ds, 64, batch_size=8)
+    for name in stats_ref:
+        np.testing.assert_allclose(stats_got[name]["min"], stats_ref[name]["min"], rtol=1e-6)
+        np.testing.assert_allclose(stats_got[name]["max"], stats_ref[name]["max"], rtol=1e-6)
+        np.testing.assert_array_equal(h_got[name], h_ref[name])
+
+
 def test_sharded_reconstruction_step():
     from jax.sharding import NamedSharding, PartitionSpec as P
     from dipoorlet_tpu.quant import compute_qparams, platform_setting_table
