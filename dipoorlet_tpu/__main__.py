@@ -65,6 +65,9 @@ def build_parser():
                         "(2x HBM bandwidth; ranges differ by bf16 rounding).",
                         action="store_true")
     parser.add_argument("--cpu", help="Force CPU backend (testing).", action="store_true")
+    parser.add_argument("--no_mesh", help="Disable the automatic multi-chip data mesh "
+                        "(run single-device even when multiple chips are visible).",
+                        action="store_true")
     parser.add_argument("--multihost", help="Initialize jax.distributed for multi-host runs.",
                         action="store_true")
     parser.add_argument("--slurm", help="Launch task from slurm (alias of --multihost; "
@@ -109,6 +112,25 @@ def main(argv=None):
     setattr(args, "rank", rank)
     setattr(args, "world_size", world_size)
     setattr(args, "local_rank", 0)
+
+    # single-controller multi-chip: shard calibration/reconstruction batches
+    # over all local chips (the reference's one-process-per-GPU DP,
+    # reference __main__.py:57-64, as SPMD over a 'data' mesh)
+    mesh = None
+    if not args.no_mesh:
+        from .parallel import default_data_mesh
+        mesh = default_data_mesh()
+    setattr(args, "mesh", mesh)
+    if mesh is not None:
+        n_chips = mesh.devices.size
+        for attr in ("batch_size", "ada_bs"):
+            v = getattr(args, attr)
+            if v % n_chips:
+                setattr(args, attr, -(-v // n_chips) * n_chips)
+    if mesh is not None and rank == 0:
+        print(f"dipoorlet_tpu: data-parallel over {mesh.devices.size} local devices "
+              f"(batch_size={args.batch_size}, ada_bs={args.ada_bs}); --no_mesh disables",
+              file=sys.stderr)
 
     if args.output_dir is None:
         model_path = os.path.dirname(os.path.abspath(args.model))

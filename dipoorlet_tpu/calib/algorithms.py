@@ -40,7 +40,10 @@ def _runner(graph, args):
     if getattr(args, "bf16_calib", False):
         import jax.numpy as jnp
         compute_dtype = jnp.bfloat16
-    runner = StatsRunner(ex, compute_dtype=compute_dtype)
+    # production multi-chip: batches shard over the CLI-built 'data' mesh
+    # (the reference's per-GPU DP, forward_net.py:207-209, as SPMD)
+    runner = StatsRunner(ex, mesh=getattr(args, "mesh", None),
+                         compute_dtype=compute_dtype)
     return runner, params, dataset
 
 

@@ -108,6 +108,15 @@ class StatsRunner:
         # ranges differ from f32 by bf16 rounding (~0.4%).
         self.compute_dtype = compute_dtype
         self._fns = {}
+        # introspection: the sharding actually applied to calibration data
+        # on the last pass (None = replicated/single-device). CLI-level
+        # tests assert on this to prove production runs shard over the mesh.
+        self.last_data_sharding = None
+
+    def _mesh_shards(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(np.prod(list(self.mesh.shape.values())))
 
     def _cast_params(self, params):
         if self.compute_dtype is None:
@@ -126,9 +135,9 @@ class StatsRunner:
         if self.mesh is None:
             return batch
         n = next(iter(batch.values())).shape[0]
-        n_shards = int(np.prod(list(self.mesh.shape.values())))
-        if n % n_shards == 0:
-            from ..parallel.mesh import shard_batch
+        if n % self._mesh_shards() == 0:
+            from ..parallel.mesh import data_sharding, shard_batch
+            self.last_data_sharding = data_sharding(self.mesh)
             return shard_batch(batch, self.mesh)
         return batch
 
@@ -163,19 +172,30 @@ class StatsRunner:
     DEVICE_RESIDENT_BYTES = 2 << 30
 
     def _dataset_device_cache(self, dataset, batch_size, start, end):
-        """Upload the shard once as {name: (NB, B, *shape)} + valid (NB, B)."""
+        """Upload the shard once as {name: (NB, B, *shape)} + valid (NB, B).
+
+        With a mesh, the batch axis of the cached stack is sharded over the
+        'data' axis, so every subsequent pass runs SPMD straight from the
+        per-chip HBM shards."""
         key = ("data", batch_size, start, end)
         if key not in self._fns:
+            sharding = None
+            if self.mesh is not None and batch_size % self._mesh_shards() == 0:
+                from ..parallel.mesh import batched_data_sharding
+                sharding = batched_data_sharding(self.mesh)
+                self.last_data_sharding = sharding
             chunks = {name: [] for name in dataset.input_shapes}
             valids = []
             n_total = 0
-            for batch, valid, n_valid in self._batches(dataset, batch_size, start, end):
+            for batch, valid, n_valid in self._batches(dataset, batch_size, start, end,
+                                                       place=False):
                 for name in chunks:
-                    chunks[name].append(batch[name])
+                    chunks[name].append(np.asarray(batch[name]))
                 valids.append(np.asarray(valid))
                 n_total += n_valid
-            data = {name: jax.device_put(np.stack(v)) for name, v in chunks.items()}
-            valid = jax.device_put(np.stack(valids).astype(np.float32))
+            data = {name: jax.device_put(np.stack(v), sharding)
+                    for name, v in chunks.items()}
+            valid = jax.device_put(np.stack(valids).astype(np.float32), sharding)
             self._fns[key] = (data, valid, n_total)
         return self._fns[key]
 
@@ -210,7 +230,7 @@ class StatsRunner:
         # compile has proven pathologically slow on the remote-compile
         # service; opt-in until that stabilizes.
         use_scan = os.environ.get("DIPOORLET_TPU_SCAN_CALIB", "0") == "1"
-        if self.mesh is None and 0 < shard_bytes <= self.DEVICE_RESIDENT_BYTES:
+        if 0 < shard_bytes <= self.DEVICE_RESIDENT_BYTES:
             data, valids, n_cached = self._dataset_device_cache(dataset, batch_size,
                                                                 start, end)
             if use_scan:
@@ -251,11 +271,13 @@ class StatsRunner:
             out[k] = np.concatenate([v, pad], axis=0)
         return out, valid
 
-    def _batches(self, dataset, batch_size, start, end):
+    def _batches(self, dataset, batch_size, start, end, place=True):
         for idx in dataset.iter_batches(batch_size, start, end):
             batch, valid = self._pad_batch(dataset.load_batch(idx), batch_size)
-            batch = self._cast_batch(batch)
-            yield self._place(self._stack(batch)), jnp.asarray(valid), len(idx)
+            batch = self._cast_batch(self._stack(batch))
+            if place:
+                batch = self._place(batch)
+            yield batch, jnp.asarray(valid), len(idx)
 
     # -- minmax ------------------------------------------------------------
     _BIG = np.float32(np.finfo(np.float32).max)
@@ -310,17 +332,30 @@ class StatsRunner:
             n_names = len(names)
 
             def step_raw(params_, batch, valid, carry):
-                acc, scales = carry
+                # TPU jit has no int64, so the cross-batch accumulator is a
+                # (hi, lo) int32 pair: multiples of 2^16 fold into `hi` every
+                # step, giving 2^47 exact counts per bin (a single int32 bin
+                # saturates at ~2.1e9 — a 150K-element tensor over ~14K
+                # samples).  Requires per-BATCH counts < 2^31, which any
+                # practical (batch_size x tensor) satisfies.
+                acc_hi, acc_lo, scales = carry
                 per_sample = vm(params_, batch, scales)  # (B, T*bins)
                 update = jnp.sum(per_sample * valid[:, None].astype(per_sample.dtype),
                                  axis=0)
-                return acc + update.reshape(n_names, bins), scales
+                acc = acc_lo + update.reshape(n_names, bins)
+                hi_inc = acc >> 16
+                return (acc_hi + hi_inc, acc - (hi_inc << 16), scales)
 
             self._fns[kind] = (jax.jit(step_raw), step_raw)
         return kind
 
-    def _hist_result(self, acc):
-        acc = np.asarray(acc, dtype=np.int64)
+    def _hist_carry0(self, bins, scales):
+        z = np.zeros((len(self.tensor_names), bins), dtype=np.int32)
+        return (z, z.copy(), scales)
+
+    def _hist_result(self, carry):
+        acc_hi, acc_lo, _ = carry
+        acc = (np.asarray(acc_hi, dtype=np.int64) << 16) + np.asarray(acc_lo, np.int64)
         return {n: acc[i] for i, n in enumerate(self.tensor_names)}
 
     def run_hist(self, params, dataset, stats_min_max, bins, batch_size=32, start=0, end=None):
@@ -330,9 +365,9 @@ class StatsRunner:
                          for n in names], np.float32)
         scales = np.where(amax > 0, bins / amax, 0.0).astype(np.float32)
         kind = self._ensure_hist(bins)
-        carry0 = (np.zeros((len(names), bins), dtype=np.int32), scales)
-        (acc, _), _ = self._run_pass(kind, params, dataset, batch_size, start, end, carry0)
-        return self._hist_result(acc)
+        carry, _ = self._run_pass(kind, params, dataset, batch_size, start, end,
+                                  self._hist_carry0(bins, scales))
+        return self._hist_result(carry)
 
     def run_minmax_hist(self, params, dataset, bins, batch_size=32, start=0, end=None):
         """Fused two-phase calibration: the minmax pass and the |x|-histogram
@@ -352,14 +387,20 @@ class StatsRunner:
         (lo, hi), _ = self._run_pass(mm_kind, params, dataset, batch_size, start, end,
                                      self._minmax_carry0(), fetch=False)
         amax = jnp.maximum(jnp.asarray(hi), -jnp.asarray(lo))
+        # NOTE: binning scales here are computed with on-device f32 division;
+        # run_hist derives them in host numpy f32.  On backends where the
+        # divide differs by 1 ULP a value sitting exactly on a bin edge can
+        # shift one bin vs the two-pass API (within the <=1-bin drift
+        # documented in docs/PARITY.md); CPU is bit-identical (tested).
         scales = jnp.where(amax > 0, bins / amax, 0.0).astype(jnp.float32)
         kind = self._ensure_hist(bins)
-        carry0 = (jnp.zeros((len(names), bins), dtype=jnp.int32), scales)
-        (acc, _), _ = self._run_pass(kind, params, dataset, batch_size, start, end,
-                                     carry0, fetch=False)
-        lo, hi, acc = jax.device_get((lo, hi, acc))
+        z = jnp.zeros((len(names), bins), dtype=jnp.int32)
+        carry0 = (z, z, scales)
+        (acc_hi, acc_lo, _), _ = self._run_pass(kind, params, dataset, batch_size,
+                                                start, end, carry0, fetch=False)
+        lo, hi, acc_hi, acc_lo = jax.device_get((lo, hi, acc_hi, acc_lo))
         stats = {n: {"min": float(lo[i]), "max": float(hi[i])} for i, n in enumerate(names)}
-        return stats, self._hist_result(acc)
+        return stats, self._hist_result((acc_hi, acc_lo, None))
 
     # -- OCTAV -------------------------------------------------------------
     def run_octav(self, params, dataset, dynamic_sym, batch_size=32, start=0, end=None):

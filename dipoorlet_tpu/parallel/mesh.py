@@ -33,8 +33,31 @@ def get_mesh(n_devices: Optional[int] = None, axes=("data",), shape=None) -> Mes
     return Mesh(arr, axes)
 
 
+def default_data_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """The production mesh: a 1-D 'data' mesh over this process's local
+    devices, or None on a single chip.
+
+    This is what makes `python -m dipoorlet_tpu` multi-chip by default —
+    the reference achieves the same with one torch.distributed process per
+    GPU (reference __main__.py:57-64); here a single controller shards the
+    calibration batch over all local chips and XLA inserts the ICI
+    reductions.  Multi-host runs keep one process per host: each process
+    meshes its own chips and cross-process merge stays on the collective
+    path (reduce_clip_val_collective)."""
+    devices = jax.local_devices()
+    if len(devices) < min_devices:
+        return None
+    return Mesh(np.asarray(devices), ("data",))
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
+
+
+def batched_data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Sharding for (n_batches, batch, ...) stacked layouts: the scan/step
+    axis stays replicated, the batch axis shards over the mesh."""
+    return NamedSharding(mesh, P(None, axis))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

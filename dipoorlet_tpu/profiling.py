@@ -123,6 +123,16 @@ def quantize_profiling_multipass(graph_after_wt: GraphIR, graph_ori: GraphIR,
     rank_ed = min(rank_st + rank_data_size, args.data_num)
     rank_data_size = rank_ed - rank_st
 
+    # savefp dump forward, compiled once (outputs not in raw_acc)
+    _savefp_fns: Dict[str, object] = {}
+
+    def _savefp_fn(name):
+        if name not in _savefp_fns:
+            _savefp_fns[name] = jax.jit(jax.vmap(
+                lambda p, x: fp_ex.forward(p, x, outputs=[name])[0],
+                in_axes=(None, 0)))
+        return _savefp_fns[name]
+
     layer_cos_sum: Dict[str, float] = {n: 0.0 for n in prof_tensors}
     layer_snr_sum: Dict[str, float] = {n: 0.0 for n in prof_tensors}
     model_cos: Dict[str, list] = {}
@@ -130,9 +140,13 @@ def quantize_profiling_multipass(graph_after_wt: GraphIR, graph_ori: GraphIR,
     fp_out_dump: Dict[str, list] = {}
 
     bs = getattr(args, "batch_size", 16)
+    mesh = getattr(args, "mesh", None)
     sample_idx = rank_st
     for idx in dataset.iter_batches(bs, rank_st, rank_ed):
         batch = dataset.load_batch(idx)
+        if mesh is not None and len(idx) % mesh.devices.size == 0:
+            from .parallel import shard_batch
+            batch = shard_batch(batch, mesh)
         layer_stats, out_stats, out_raw = jax.device_get(batched(fp_params, q_params, batch))
         nb = len(idx)
         # layer_stats: (B, L, 3); out_stats: (B, O, 3)
@@ -161,9 +175,7 @@ def quantize_profiling_multipass(graph_after_wt: GraphIR, graph_ori: GraphIR,
                     fp_batch = raw_acc[name][-1][0]
                 else:
                     # re-fetch fp outputs for dumping
-                    fp_out, _ = jax.jit(jax.vmap(
-                        lambda p, x: fp_ex.forward(p, x, outputs=[name])[0],
-                        in_axes=(None, 0)))(fp_params, batch)
+                    fp_out, _ = _savefp_fn(name)(fp_params, batch)
                     fp_batch = np.asarray(fp_out[name])
                 for i in range(nb):
                     fp_batch[i].astype(np.float32).tofile(

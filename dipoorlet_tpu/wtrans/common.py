@@ -111,7 +111,18 @@ class ActivationProvider:
         self.dataset = CalibDataset(args.input_dir, self.ex.input_shapes(), args.data_num)
         self.st, self.ed = st, ed
         self.batch_size = batch_size or getattr(args, "batch_size", 16)
+        # replay batches shard over the CLI mesh so the prefix forwards run
+        # data-parallel (the reference's per-GPU ActivationCache shards)
+        self._sharding = mesh_sharding(args)
+        if self._sharding is not None and \
+                self.batch_size % self._sharding.mesh.devices.size:
+            self._sharding = None
         self._fns: Dict = {}
+
+    def _place(self, batch):
+        if self._sharding is None:
+            return batch
+        return {k: jax.device_put(v, self._sharding) for k, v in batch.items()}
 
     def update_weight(self, name: str, value) -> None:
         value = jnp.asarray(np.asarray(value))
@@ -142,7 +153,7 @@ class ActivationProvider:
                 batch = {k: np.concatenate(
                     [v, np.repeat(v[-1:], self.batch_size - n_valid, axis=0)], axis=0)
                     for k, v in batch.items()}
-            _, taps = fn(self.params, batch)
+            _, taps = fn(self.params, self._place(batch))
             for n in tensor_names:
                 chunks[n].append(taps[n][:n_valid])
         # stay on device: these feed the on-device reconstruction loop
@@ -168,10 +179,17 @@ class ActivationProvider:
         count = 0
         for idx in self.dataset.iter_batches(self.batch_size, self.st, self.ed):
             batch = self.dataset.load_batch(idx)
-            _, taps = fn(self.params, batch)
+            n_valid = len(idx)
+            if n_valid < self.batch_size:
+                # pad to the fixed batch shape (single compile per pass)
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], self.batch_size - n_valid, axis=0)], axis=0)
+                    for k, v in batch.items()}
+            _, taps = fn(self.params, self._place(batch))
             for n in tensor_names:
-                sums[n] = sums[n] + np.asarray(jax.device_get(jnp.sum(taps[n], axis=0)))
-            count += len(idx)
+                sums[n] = sums[n] + np.asarray(jax.device_get(
+                    jnp.sum(taps[n][:n_valid], axis=0)))
+            count += n_valid
         return {n: sums[n] / count for n in tensor_names}
 
 
@@ -182,3 +200,12 @@ def shard_bounds(args):
     st = rank * per
     ed = st + per
     return st, min(ed, args.data_num)
+
+
+def mesh_sharding(args):
+    """NamedSharding over the CLI-built data mesh, or None single-chip."""
+    mesh = getattr(args, "mesh", None)
+    if mesh is None:
+        return None
+    from ..parallel import data_sharding
+    return data_sharding(mesh)

@@ -106,24 +106,29 @@ def _layer_forward(sig_entry, mask, x, w, b, scale, q_min, q_max, acti, drop_rat
 @partial(jax.jit, static_argnames=("bsig",))
 def _train_block(bsig: _BlockSig, weights, biases, wq, actis, masks0,
                  q_in, fp_out, fp_in, valid, seed):
-    """Run the full reconstruction loop on device; returns (masks, losses)."""
+    """Run the full reconstruction loop on device; returns (masks, losses).
+
+    Activation tensors arrive stacked (n_batches, bs, *shape) with the bs
+    axis (optionally) sharded over the mesh's 'data' axis: indexing the
+    leading (replicated) axis per step keeps every minibatch sharded
+    exactly like its source array, so the gradient psum XLA inserts in the
+    backward is the whole cross-chip communication (DDP's allreduce,
+    reference adaround.py:121)."""
     tx = optax.adam(1e-3)  # torch.optim.Adam defaults (adaround.py:120)
     opt_state = tx.init(masks0)
     root_key = jax.random.PRNGKey(seed)
-    bs = bsig.batch_size
     n_batches = bsig.n_batches
     drop_ratio = 0.5
 
     def body(carry, it):
         masks, opt_state = carry
         b_idx = it % n_batches
-        st = b_idx * bs
-        x0 = jax.lax.dynamic_slice_in_dim(q_in, st, bs)
-        tgt = jax.lax.dynamic_slice_in_dim(fp_out, st, bs)
-        w_mask = jax.lax.dynamic_slice_in_dim(valid, st, bs)
+        x0 = jax.lax.dynamic_index_in_dim(q_in, b_idx, keepdims=False)
+        tgt = jax.lax.dynamic_index_in_dim(fp_out, b_idx, keepdims=False)
+        w_mask = jax.lax.dynamic_index_in_dim(valid, b_idx, keepdims=False)
         it_key = jax.random.fold_in(root_key, it)
         if bsig.drop:
-            xf = jax.lax.dynamic_slice_in_dim(fp_in, st, bs)
+            xf = jax.lax.dynamic_index_in_dim(fp_in, b_idx, keepdims=False)
             keep = jax.random.uniform(jax.random.fold_in(it_key, 9999), x0.shape) < 0.5
             x0 = jnp.where(keep, x0, xf)
 
@@ -163,26 +168,36 @@ def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
     """Returns the list of learned round masks (device arrays).
 
     q_in/fp_out: (N, *shape) with the declared batch dim already squeezed
-    (reference squeezes dim 1, adaround.py:128)."""
+    (reference squeezes dim 1, adaround.py:128).
+
+    data_sharding: a NamedSharding over the batch axis (P('data')); the
+    stacked (n_batches, bs, ...) layout shards bs and replicates the
+    step axis."""
     n = q_in.shape[0]
     n_batches = max(1, math.ceil(n / batch_size))
     pad = n_batches * batch_size - n
 
-    def pad0(a):
+    if data_sharding is not None and batch_size % data_sharding.mesh.devices.size:
+        data_sharding = None  # batch does not divide the mesh: run replicated
+    stacked_sharding = None
+    if data_sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        spec = PartitionSpec(None, *data_sharding.spec)
+        stacked_sharding = NamedSharding(data_sharding.mesh, spec)
+
+    def stack(a):
         a = jnp.asarray(a)  # device-side padding; inputs may already live on device
         if pad:
             a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        a = a.reshape((n_batches, batch_size) + a.shape[1:])
+        if stacked_sharding is not None:
+            a = jax.device_put(a, stacked_sharding)
         return a
 
-    def place(a):
-        if data_sharding is not None:
-            a = jax.device_put(a, data_sharding)
-        return a
-
-    q_in_d = place(pad0(q_in))
-    fp_out_d = place(pad0(fp_out))
-    fp_in_d = place(pad0(fp_in)) if fp_in is not None else q_in_d
-    valid = jnp.asarray(pad0(np.ones((n,), np.float32)))
+    q_in_d = stack(q_in)
+    fp_out_d = stack(fp_out)
+    fp_in_d = stack(fp_in) if fp_in is not None else q_in_d
+    valid = stack(np.ones((n,), np.float32))
 
     layers_sig = tuple(
         (s.node_sig, s.transposed, s.relu, s.per_channel, s.bias is not None,

@@ -21,7 +21,7 @@ from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
 from .common import (ActivationProvider, LEARNABLE_LAYER_TYPES, follow_relu,
-                     quantized_input_name, shard_bounds)
+                     mesh_sharding, quantized_input_name, shard_bounds)
 from .reconstruct import _apply_from_sig, _to_onnx_layout
 from .weight_equalization import node_has_equalized
 
@@ -104,7 +104,7 @@ def sparse_quant(graph_ori, graph, act_clip_val, weight_clip_val, args):
 
         spec = _build_layer_spec(graph_sq, graph_sq, node, clip_val, args, relu_flag)
         new_weight = _learn_sparse(spec, q_in, fp_out, args.ada_bs, args.ada_epoch,
-                                   sparse_info)
+                                   sparse_info, data_sharding=mesh_sharding(args))
         graph_sq.set_initializer(node.input[1], new_weight)
         q_provider.update_weight(node.input[1], new_weight)
 
@@ -114,20 +114,34 @@ def sparse_quant(graph_ori, graph, act_clip_val, weight_clip_val, args):
     return graph_sq
 
 
-def _learn_sparse(spec, q_in, fp_out, batch_size, max_epoch, sparse_info):
+def _learn_sparse(spec, q_in, fp_out, batch_size, max_epoch, sparse_info,
+                  data_sharding=None):
     n = q_in.shape[0]
     n_batches = max(1, math.ceil(n / batch_size))
     pad = n_batches * batch_size - n
 
-    def pad0(a):
+    # stacked (n_batches, bs, ...) layout; bs axis shards over the mesh
+    # (see reconstruct.learn_block)
+    if data_sharding is not None and batch_size % data_sharding.mesh.devices.size:
+        data_sharding = None
+    stacked_sharding = None
+    if data_sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        stacked_sharding = NamedSharding(data_sharding.mesh,
+                                         PartitionSpec(None, *data_sharding.spec))
+
+    def stack(a):
         a = jnp.asarray(a)
         if pad:
             a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        a = a.reshape((n_batches, batch_size) + a.shape[1:])
+        if stacked_sharding is not None:
+            a = jax.device_put(a, stacked_sharding)
         return a
 
-    q_in_d = pad0(q_in)
-    fp_out_d = pad0(fp_out)
-    valid = jnp.asarray(pad0(np.ones((n,), np.float32)))
+    q_in_d = stack(q_in)
+    fp_out_d = stack(fp_out)
+    valid = stack(np.ones((n,), np.float32))
     total_iter = max_epoch * n_batches
 
     # torch CosineAnnealingLR stepped per epoch (sparse_quant.py:108-127)
@@ -152,10 +166,9 @@ def _learn_sparse(spec, q_in, fp_out, batch_size, max_epoch, sparse_info):
     def body(carry, it):
         w, opt_state = carry
         b_idx = it % n_batches
-        stp = b_idx * batch_size
-        x = jax.lax.dynamic_slice_in_dim(q_in_d, stp, batch_size)
-        tgt = jax.lax.dynamic_slice_in_dim(fp_out_d, stp, batch_size)
-        vw = jax.lax.dynamic_slice_in_dim(valid, stp, batch_size)
+        x = jax.lax.dynamic_index_in_dim(q_in_d, b_idx, keepdims=False)
+        tgt = jax.lax.dynamic_index_in_dim(fp_out_d, b_idx, keepdims=False)
+        vw = jax.lax.dynamic_index_in_dim(valid, b_idx, keepdims=False)
 
         def loss_fn(w):
             out = forward(w, x)
