@@ -100,6 +100,17 @@ def _gen1126(graph, clip_val, args):
                 for prev_key in list(qp):
                     if prev_node.name in prev_key and "out" in prev_key:
                         qp[prev_key] = qp[last_key]
+        # Caffe-origin graphs split BN into CaffeBatchNorm -> CaffeScale; the
+        # runtime fuses them, so the BN output inherits the Scale output's
+        # range and the Scale entry disappears (ref deploy_rv.py:99-106).
+        if node.op_type == "CaffeScale":
+            prev_node = graph.get_tensor_producer(node.input[0])
+            if prev_node != INPUT_TOKEN and not isinstance(prev_node, str) \
+                    and prev_node.op_type == "CaffeBatchNorm":
+                for prev_key in list(qp):
+                    if prev_node.name in prev_key and "out" in prev_key:
+                        qp[prev_key] = qp[last_key]
+                del qp[last_key]
     with open(osp.join(args.output_dir, "rv_quantized_param.yaml"), "w") as f:
         f.write(yaml.dump(res))
     with open(osp.join(args.output_dir, "rv_quantized_param.json"), "w") as f:
@@ -138,6 +149,12 @@ def _gen3568(graph, clip_val, args):
             last_key = output_tensor
         if node.op_type == "Relu":
             qp[node.input[0]] = qp[last_key]
+        if node.op_type == "CaffeScale":
+            prev_node = graph.get_tensor_producer(node.input[0])
+            if prev_node != INPUT_TOKEN and not isinstance(prev_node, str) \
+                    and prev_node.op_type == "CaffeBatchNorm":
+                qp[node.input[0]] = qp[last_key]
+                del qp[last_key]
     with open(osp.join(args.output_dir, "rk_quantized_param.yaml"), "w") as f:
         f.write(yaml.dump(res))
     with open(osp.join(args.output_dir, "rk_quantized_param.json"), "w") as f:

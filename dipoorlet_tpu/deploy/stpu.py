@@ -4,6 +4,7 @@ Per-tensor symmetric ranges, ReLU/Clip merge, optional 4x4 Winograd
 weight-domain ranges (G.k.G^T), per-op `emin` exponent floors for the
 FP-ish accumulators, and bias alpha = w_alpha * in_alpha."""
 import json
+import math
 import os
 
 import numpy as np
@@ -69,32 +70,27 @@ def _conv_wg_layer(graph, param):
             param[node.name + "_weights"]["min"] = -abs_vmax
 
 
-def find_e(v):
-    v_ = abs(v)
-    if v_ == 0:
+def _biased_exp(v):
+    """IEEE-754 biased exponent of |v|, clamped to the normal range
+    [1, 254]; 0 for v == 0. STPU emin floors are offsets from this."""
+    if v == 0:
         return 0
-    for e in range(1, 254):
-        r_e = e - 127
-        if (v >= 2 ** r_e) and (v < 2 ** (r_e + 1)):
-            return e
-    if v < 2 ** (-126):
-        return 1
-    return 254
+    _, exp = math.frexp(abs(v))  # |v| = m * 2**exp, m in [0.5, 1)
+    return min(max(exp + 126, 1), 254)
 
 
 def _find_interp_emin(vmax, r):
-    return find_e(vmax) - (22 - r)
+    return _biased_exp(vmax) - (22 - r)
 
 
 def _find_conv_emin(i_vmax, w_vmax, o_vmax, n, r):
-    n = n ** 0.5
-    vmax = max(n * i_vmax * w_vmax, o_vmax)
-    return find_e(vmax) - (12 - r)
+    # worst-case accumulator magnitude ~ sqrt(n) * |x|max * |w|max
+    vmax = max(math.sqrt(n) * i_vmax * w_vmax, o_vmax)
+    return _biased_exp(vmax) - (12 - r)
 
 
 def _find_corr_emin(o_vmax, n, r):
-    n = n ** 0.5
-    return find_e(o_vmax * n) - (12 - r)
+    return _biased_exp(o_vmax * math.sqrt(n)) - (12 - r)
 
 
 def _layer_emin_state(graph, param):

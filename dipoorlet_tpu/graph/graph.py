@@ -7,7 +7,7 @@ insertion/removal, shape & dtype maps, model rebuild, deep copy, save.
 Design differences from the reference (TPU-first):
   * initializers are cached as numpy arrays (decoded once, not per access);
   * shape/type inference is done by abstract evaluation of our own JAX op
-    library (graph/infer.py) instead of relying on onnx shape_inference;
+    library (graph/passes.py) instead of relying on onnx shape_inference;
   * graph simplification (constant folding, Identity/Dropout elision) is a
     first-class import pass (graph/passes.py) replacing onnxsim.simplify
     (reference __main__.py:101).
@@ -189,8 +189,10 @@ class GraphIR:
             self.tensor_name_shape_map[name] = list(arr.shape)
 
     def infer_shapes(self):
-        from .infer import infer_graph_shapes
-        infer_graph_shapes(self)
+        """Fill tensor_name_shape_map via abstract evaluation over the op
+        library (no constant folding)."""
+        from .passes import simplify_graph
+        simplify_graph(self, fold_constants=False)
 
     def get_tensor_shape(self, name: str) -> list:
         return self.tensor_name_shape_map[name]

@@ -94,9 +94,9 @@ platform_setting_table = {
     },
 }
 
-# Per-platform layers excluded from deployment (platform_settings.py "deploy_exclude_layers")
-for _name in ("trt", "stpu", "magicmind", "rv", "snpe", "ti", "imx"):
-    platform_setting_table[_name].setdefault("deploy_exclude_layers", [])
+# NOTE: the reference table also carries "deploy_exclude_layers"
+# (platform_settings.py:7 etc.) but every entry is [] and nothing ever reads
+# it — dead config. Deliberately not carried here.
 
 
 def effective_setting(args) -> dict:

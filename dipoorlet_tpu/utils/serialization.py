@@ -6,7 +6,7 @@ calibration, arithmetic shard-mean for hist/mse clip values and for
 layer cosines; min for model min-cosine.
 
 In SPMD runs these reductions happen on-device via collectives
-(parallel/collectives.py); the file path remains for artifact parity and
+(parallel/mesh.py); the file path remains for artifact parity and
 for multi-process launches without a shared device mesh."""
 from __future__ import annotations
 

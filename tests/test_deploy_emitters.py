@@ -141,3 +141,33 @@ def test_rv_format(graph, clips, tmp_path):
     xs = qp["@x:out0"]["scale"][0]
     assert abs(qp["@conv:bias"]["scale"][0] - ws * xs) < 1e-12
     assert os.path.exists(os.path.join(out, "rk_quantized_param.json"))
+
+
+def test_rv_caffe_bn_scale_merge(tmp_path):
+    """Caffe-converted graphs: the CaffeBatchNorm output takes the CaffeScale
+    output's range and the Scale entry is dropped (ref deploy_rv.py:99-106,
+    gen3568 :165-171)."""
+    nodes = [
+        oir.make_node("CaffeBatchNorm", ["x"], ["bn_out"], name="bn"),
+        oir.make_node("CaffeScale", ["bn_out"], ["sc_out"], name="scale"),
+    ]
+    g = oir.make_graph(nodes, "g",
+                       [oir.make_tensor_value_info("x", oir.DataType.FLOAT, [1, 4, 8, 8])],
+                       [oir.make_tensor_value_info("sc_out", oir.DataType.FLOAT,
+                                                   [1, 4, 8, 8])])
+    gi = GraphIR(oir.make_model(g))
+    act = {"x": [-2.0, 2.0], "bn_out": [-1.0, 1.0], "sc_out": [-3.0, 5.0]}
+    to_deploy(gi, {k: list(v) for k, v in act.items()}, {},
+              Args("rv", str(tmp_path)))
+
+    qp = json.load(open(os.path.join(tmp_path, "rv_quantized_param.json")))[
+        "quantize_parameters"]
+    assert "@scale:out0" not in qp
+    # bn out0 inherits the scale output's range (-3..5), not its own (-1..1)
+    assert qp["@bn:out0"]["min_value"] == [-3.0]
+    assert qp["@bn:out0"]["max_value"] == [5.0]
+
+    rk = json.load(open(os.path.join(tmp_path, "rk_quantized_param.json")))[
+        "quantize_parameters"]
+    assert "sc_out" not in rk
+    assert rk["bn_out"] == {"max": [5.0], "min": [-3.0]}
