@@ -108,6 +108,7 @@ class StatsRunner:
         # ranges differ from f32 by bf16 rounding (~0.4%).
         self.compute_dtype = compute_dtype
         self._fns = {}
+        self._dev_params = None  # (source dict, id token, device copy)
         # introspection: the sharding actually applied to calibration data
         # on the last pass (None = replicated/single-device). CLI-level
         # tests assert on this to prove production runs shard over the mesh.
@@ -124,6 +125,21 @@ class StatsRunner:
         dt = self.compute_dtype
         return {k: (v.astype(dt) if np.issubdtype(np.asarray(v).dtype, np.floating) else v)
                 for k, v in params.items()}
+
+    def _device_params(self, params):
+        """Upload params once per distinct host dict, not once per pass.
+
+        Re-uploading ResNet-18's ~45 MB of weights every pass cost ~1.5 s
+        over the remote device link (~30 MB/s) — 3x the actual pass compute.
+        Keyed by array identity: a weight update produces new arrays and
+        naturally invalidates the cache; holding the source dict keeps the
+        ids stable."""
+        token = tuple(id(v) for v in params.values())
+        if self._dev_params is not None and self._dev_params[1] == token:
+            return self._dev_params[2]
+        dev = jax.device_put(self._cast_params(params))
+        self._dev_params = (params, token, dev)
+        return dev
 
     def _cast_batch(self, batch):
         if self.compute_dtype is None:
@@ -221,7 +237,7 @@ class StatsRunner:
         is returned still on device (no host sync) so a downstream pass can
         consume it without a relay round-trip."""
         import os
-        params = jax.device_put(self._cast_params(params))
+        params = self._device_params(params)
         end_ = dataset.num if end is None else end
         n_total = max(0, end_ - start)
         shard_bytes = n_total * sum(

@@ -76,8 +76,10 @@ def quantize_profiling_multipass(graph_after_wt: GraphIR, graph_ori: GraphIR,
 
     fp_ex = Executor(graph_ori)
     q_ex = Executor(graph_q)
-    fp_params = fp_ex.init_params()
-    q_params = q_ex.init_params()
+    # upload weights ONCE: passing numpy dicts into the per-batch jitted
+    # calls would re-send ~2x model bytes over the device link every batch
+    fp_params = jax.device_put(fp_ex.init_params())
+    q_params = jax.device_put(q_ex.init_params())
 
     # tensors to compare (same names exist in both graphs — QDQ nodes rename
     # only consumers' inputs)

@@ -106,10 +106,22 @@ class Executor:
                 outputs: Optional[Sequence[str]] = None):
         """Single-sample forward. Traced-friendly: call under jit/vmap."""
         env = dict(inputs)
-        # cast fed inputs to the graph's declared dtypes: the calibration
-        # data format is raw float32 (reference forward_net.py:459-464), so
-        # integer-input models (token ids -> Gather embeddings) receive
-        # floats that must become indices
+        self._cast_network_inputs(env)
+        taps = set(taps)
+        tap_out = {}
+        want_outputs = list(outputs) if outputs is not None else list(self.graph.network_outputs)
+        for name in list(env):
+            if name in taps:
+                tap_out[name] = tap_transform(name, env[name]) if tap_transform else env[name]
+        self._run_steps(self.steps, params, env, taps, tap_transform, tap_out)
+        out = {name: env[name] for name in want_outputs if name in env}
+        return out, tap_out
+
+    def _cast_network_inputs(self, env):
+        """Cast fed inputs to the graph's declared dtypes: the calibration
+        data format is raw float32 (reference forward_net.py:459-464), so
+        integer-input models (token ids -> Gather embeddings) receive
+        floats that must become indices."""
         from ..onnx_ir.helper import ONNX_TO_NP
         for name in self.graph.network_inputs:
             if name in env:
@@ -118,13 +130,10 @@ class Executor:
                 if want is not None and arr.dtype != jnp.dtype(want) \
                         and np.issubdtype(arr.dtype, np.floating):
                     env[name] = arr.astype(want)
-        taps = set(taps)
-        tap_out = {}
-        want_outputs = list(outputs) if outputs is not None else list(self.graph.network_outputs)
-        for name in list(env):
-            if name in taps:
-                tap_out[name] = tap_transform(name, env[name]) if tap_transform else env[name]
-        for step in self.steps:
+
+    def _run_steps(self, steps, params, env, taps, tap_transform, tap_out):
+        """Evaluate `steps` in order, reading/writing the tensor env in place."""
+        for step in steps:
             args = []
             for i, name in enumerate(step.inputs):
                 if name == "":
@@ -151,8 +160,6 @@ class Executor:
                 if out_name in taps and out_name in env:
                     tap_out[out_name] = (tap_transform(out_name, env[out_name])
                                          if tap_transform else env[out_name])
-        out = {name: env[name] for name in want_outputs if name in env}
-        return out, tap_out
 
     def make_batched(self, taps: Sequence[str] = (), tap_transform: Optional[Callable] = None,
                      outputs: Optional[Sequence[str]] = None, jit: bool = True):
@@ -167,6 +174,49 @@ class Executor:
         if jit:
             batched = jax.jit(batched)
         return batched
+
+    # -- segment execution (frontier replay) ---------------------------
+    def producer_pos(self) -> Dict[str, int]:
+        """tensor name -> index of the step producing it (graph inputs: -1)."""
+        pos = {name: -1 for name in self.graph.network_inputs}
+        for i, step in enumerate(self.steps):
+            for out in step.outputs:
+                if out:
+                    pos[out] = i
+        return pos
+
+    def make_segment_batched(self, start: int, stop: int, taps: Sequence[str] = (),
+                             tap_transform: Optional[Callable] = None,
+                             keeps: Sequence[str] = (), jit: bool = True):
+        """Returns fn(params, frontier_batch) -> (taps_dict, keeps_dict)
+        evaluating steps[start:stop] from a mid-graph cut.
+
+        frontier_batch maps every tensor live at the cut to a (B, *shape)
+        array; keeps selects the tensors (frontier or segment outputs) to
+        carry to the next cut. This is what lets an activation provider
+        evaluate each node once per sweep instead of once per prefix replay
+        (the reference caches per-node ORT outputs for the same reason,
+        forward_net.py:23-189)."""
+        seg = self.steps[start:stop]
+        taps_t, keeps_t = tuple(taps), tuple(keeps)
+
+        def single(params, frontier):
+            env = dict(frontier)
+            if start == 0:
+                self._cast_network_inputs(env)
+            tap_out = {}
+            tset = set(taps_t)
+            for name in list(env):
+                if name in tset:
+                    tap_out[name] = (tap_transform(name, env[name])
+                                     if tap_transform else env[name])
+            self._run_steps(seg, params, env, tset, tap_transform, tap_out)
+            return tap_out, {n: env[n] for n in keeps_t}
+
+        fn = jax.vmap(single, in_axes=(None, 0))
+        if jit:
+            fn = jax.jit(fn)
+        return fn
 
     def all_tensor_names(self) -> List[str]:
         names = list(self.graph.network_inputs)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
-from .common import (ActivationProvider, LEARNABLE_LAYER_TYPES, follow_relu,
+from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu,
                      mesh_sharding, quantized_input_name, shard_bounds,
                      weight_qparams_for_node)
 from .reconstruct import LayerSpec, hard_round_weight, learn_block, node_signature
@@ -40,9 +40,9 @@ def adaround(graph_ori, graph, act_clip_val, weight_clip_val, args):
     st, ed = shard_bounds(args)
     num_per_rank = ed - st
 
-    fp_provider = ActivationProvider(graph_ori, args, st, ed)
+    fp_provider = make_activation_provider(graph_ori, args, st, ed)
     graph_q, _ = quant_graph(graph_ada, clip_val, args)
-    q_provider = ActivationProvider(graph_q, args, st, ed)
+    q_provider = make_activation_provider(graph_q, args, st, ed)
 
     for node in graph_ori.graph.node:
         if node.name in args.skip_layers:
@@ -71,6 +71,10 @@ def adaround(graph_ori, graph, act_clip_val, weight_clip_val, args):
         graph_ada.set_initializer(node.input[1], new_weight)
         q_provider.update_weight(node.input[1], new_weight)
 
+    for tag, p in (("fp", fp_provider), ("q", q_provider)):
+        if hasattr(p, "sweep_equivalents"):
+            logger.info("adaround %s activation replays: %.2f full-net forwards",
+                        tag, p.sweep_equivalents())
     if getattr(args, "rank", 0) == 0 and graph_ada.output_dir:
         graph_ada.update_model()
         graph_ada.save_onnx_model("adaround")

@@ -14,7 +14,7 @@ import numpy as np
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
-from .common import (ActivationProvider, LEARNABLE_LAYER_TYPES,
+from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider,
                      acti_qparams_for_node, follow_relu, get_block_from_first,
                      mesh_sharding, quantized_input_name, shard_bounds)
 from .reconstruct import hard_round_weight, learn_block
@@ -29,9 +29,9 @@ def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
     num_per_rank = ed - st
     log_head = "Qdrop" if args.drop else "Brecq"
 
-    fp_provider = ActivationProvider(graph_ori, args, st, ed)
+    fp_provider = make_activation_provider(graph_ori, args, st, ed)
     graph_q, _ = quant_graph(graph_brecq, clip_val, args)
-    q_provider = ActivationProvider(graph_q, args, st, ed)
+    q_provider = make_activation_provider(graph_q, args, st, ed)
 
     already = set()
     for node in graph_ori.graph.node:
@@ -76,6 +76,10 @@ def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
             graph_brecq.set_initializer(_node.input[1], new_weight)
             q_provider.update_weight(_node.input[1], new_weight)
 
+    for tag, p in (("fp", fp_provider), ("q", q_provider)):
+        if hasattr(p, "sweep_equivalents"):
+            logger.info("brecq %s activation replays: %.2f full-net forwards",
+                        tag, p.sweep_equivalents())
     if getattr(args, "rank", 0) == 0 and graph_brecq.output_dir:
         graph_brecq.update_model()
         graph_brecq.save_onnx_model("brecq")

@@ -3,10 +3,13 @@
 The reference drives these from torch modules rebuilt per ONNX node
 (ada_quant_layer.py:133-252) plus an ORT-backed ActivationCache; here a
 learnable layer is just its registry op fn applied with the node's attrs,
-and activations come from jitted (XLA-DCE-pruned) prefix replays of the
-fp/quant executors."""
+and activations come from the executors — either full jitted prefix
+replays (ActivationProvider) or, by default, segmented frontier replays
+that evaluate each node exactly once per sweep
+(SegmentedActivationProvider)."""
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -191,6 +194,162 @@ class ActivationProvider:
                     jnp.sum(taps[n][:n_valid], axis=0)))
             count += n_valid
         return {n: sums[n] / count for n in tensor_names}
+
+
+class SegmentedActivationProvider:
+    """Topo-ordered activation provider with O(1) total full-net forwards.
+
+    The reference's ActivationCache evaluates each node at most once per
+    reconstruction sweep, caching live tensors per-sample in host RAM with
+    ref-count eviction (forward_net.py:23-189).  ActivationProvider above
+    instead replays the full jitted prefix per request — O(L) full-net
+    forwards over L learnable layers.  This class restores the reference's
+    asymptotics TPU-style: it keeps a *frontier* — every tensor still live
+    at the current topological cut, stacked over the rank's sample shard —
+    and serves each request by running one jitted, vmapped segment from
+    the cut to the requested tensor, carrying the live set forward.  Each
+    graph node therefore executes exactly once per sweep, and weight
+    updates behind the cut are reflected in later segments exactly like
+    the reference's incremental q-cache (adaround.py:40-46).
+
+    Memory policy: after each advance, the frontier (list of per-batch
+    chunks) stays on device if it fits DIPOORLET_TPU_ACT_BUDGET_GB
+    (default 4 GiB), else it is offloaded to host RAM and streamed back
+    one batch at a time, bounding HBM at one batch of frontier + the
+    segment's live-set peak + the requested taps.
+
+    Requests must be topologically non-decreasing (all drivers iterate
+    nodes in topo order); a behind-the-cut request is served from the
+    frontier if the tensor is still live, else raises."""
+
+    DEFAULT_BUDGET_GB = 4.0
+
+    def __init__(self, graph: GraphIR, args, st: int, ed: int,
+                 batch_size: Optional[int] = None):
+        self.graph = graph
+        self.ex = Executor(graph)
+        self.params = {k: jnp.asarray(v) for k, v in self.ex.init_params().items()}
+        self.dataset = CalibDataset(args.input_dir, self.ex.input_shapes(), args.data_num)
+        self.st, self.ed = st, ed
+        self.n = ed - st
+        self.batch_size = batch_size or getattr(args, "batch_size", 16)
+        self._sharding = mesh_sharding(args)
+        if self._sharding is not None and \
+                self.batch_size % self._sharding.mesh.devices.size:
+            self._sharding = None
+        self.budget_bytes = int(float(os.environ.get(
+            "DIPOORLET_TPU_ACT_BUDGET_GB", str(self.DEFAULT_BUDGET_GB))) * 2 ** 30)
+        self.host_frontier = False
+        self.steps_run = 0  # diagnostics: step-evaluations (per batch chunk)
+
+        self._ppos = self.ex.producer_pos()
+        self._last_use: Dict[str, int] = {}
+        for i, step in enumerate(self.ex.steps):
+            for idx, name in enumerate(step.inputs):
+                if name and idx not in step.static_idx:
+                    self._last_use[name] = i
+        self.pos = 0
+        self._fns: Dict = {}
+
+        # initial frontier = the network inputs, padded to full batches,
+        # as host chunks (uploaded with the first segment)
+        chunks: Dict[str, list] = {name: [] for name in self.dataset.input_shapes}
+        for idx in self.dataset.iter_batches(self.batch_size, st, ed):
+            batch = self.dataset.load_batch(idx)
+            if len(idx) < self.batch_size:
+                batch = {k: np.concatenate(
+                    [v, np.repeat(v[-1:], self.batch_size - len(idx), axis=0)], axis=0)
+                    for k, v in batch.items()}
+            for k in chunks:
+                chunks[k].append(np.asarray(batch[k]))
+        self.n_batches = len(next(iter(chunks.values())))
+        self.frontier: Dict[str, list] = chunks
+
+    def update_weight(self, name: str, value) -> None:
+        value = jnp.asarray(np.asarray(value))
+        if name in self.params:
+            self.params[name] = value
+        self.graph.set_initializer(name, np.asarray(value))
+
+    def sweep_equivalents(self) -> float:
+        """Step-evaluations so far, in units of full-net forwards."""
+        total = len(self.ex.steps) * self.n_batches
+        return self.steps_run / total if total else 0.0
+
+    def get(self, tensor_names, relu: bool = False) -> Dict[str, jnp.ndarray]:
+        """Returns {name: (N_shard, *declared_shape)} stacked activations."""
+        if isinstance(tensor_names, str):
+            tensor_names = [tensor_names]
+        missing = [n for n in tensor_names if n not in self._ppos]
+        if missing:
+            raise KeyError(f"unknown tensors {missing}")
+        stop = max(self._ppos[n] for n in tensor_names) + 1
+        if stop <= self.pos:
+            return self._serve_from_frontier(tensor_names, relu)
+        return self._advance(stop, tuple(tensor_names), relu)
+
+    # ------------------------------------------------------------------
+    def _place_chunk(self, c):
+        if isinstance(c, np.ndarray):
+            if self._sharding is not None:
+                return jax.device_put(c, self._sharding)
+            return jnp.asarray(c)
+        return c
+
+    def _serve_from_frontier(self, names, relu):
+        out = {}
+        for n in names:
+            if n not in self.frontier:
+                raise RuntimeError(
+                    f"tensor '{n}' is behind the replay cut and already evicted; "
+                    f"request activations in topological order (or use "
+                    f"ActivationProvider)")
+            a = jnp.concatenate([self._place_chunk(c) for c in self.frontier[n]],
+                                axis=0)[: self.n]
+            out[n] = jnp.maximum(a, 0) if relu else a
+        return out
+
+    def _advance(self, stop, taps, relu):
+        start = self.pos
+        live = set(self.frontier)
+        for step in self.ex.steps[start:stop]:
+            live.update(o for o in step.outputs if o)
+        keeps = tuple(sorted(n for n in live if self._last_use.get(n, -1) >= stop))
+        tap_tx = (lambda name, a: jnp.maximum(a, 0)) if relu else None
+        key = (start, stop, taps, relu, keeps)
+        if key not in self._fns:
+            self._fns[key] = self.ex.make_segment_batched(start, stop, taps, tap_tx,
+                                                          keeps)
+        fn = self._fns[key]
+        tap_chunks: Dict[str, list] = {n: [] for n in taps}
+        keep_chunks: Dict[str, list] = {n: [] for n in keeps}
+        for b in range(self.n_batches):
+            fb = {k: self._place_chunk(v[b]) for k, v in self.frontier.items()}
+            tap_out, keep_out = fn(self.params, fb)
+            for n in taps:
+                tap_chunks[n].append(tap_out[n])
+            for n in keeps:
+                keep_chunks[n].append(keep_out[n])
+        self.steps_run += (stop - start) * self.n_batches
+
+        frontier_bytes = sum(c.nbytes for v in keep_chunks.values() for c in v)
+        self.host_frontier = frontier_bytes > self.budget_bytes
+        if self.host_frontier:
+            self.frontier = {n: [np.asarray(c) for c in jax.device_get(v)]
+                             for n, v in keep_chunks.items()}
+        else:
+            self.frontier = keep_chunks
+        self.pos = stop
+        return {n: jnp.concatenate(tap_chunks[n], axis=0)[: self.n] for n in taps}
+
+
+def make_activation_provider(graph: GraphIR, args, st: int, ed: int,
+                             batch_size: Optional[int] = None):
+    """Segmented (single-sweep) provider by default;
+    DIPOORLET_TPU_SEGMENTED=0 falls back to full prefix replays."""
+    if os.environ.get("DIPOORLET_TPU_SEGMENTED", "1") == "1":
+        return SegmentedActivationProvider(graph, args, st, ed, batch_size)
+    return ActivationProvider(graph, args, st, ed, batch_size)
 
 
 def shard_bounds(args):

@@ -20,7 +20,7 @@ from ..quant.fake_quant import ste_round
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
-from .common import (ActivationProvider, LEARNABLE_LAYER_TYPES, follow_relu,
+from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu,
                      mesh_sharding, quantized_input_name, shard_bounds)
 from .reconstruct import _apply_from_sig, _to_onnx_layout
 from .weight_equalization import node_has_equalized
@@ -82,9 +82,9 @@ def sparse_quant(graph_ori, graph, act_clip_val, weight_clip_val, args):
     num_per_rank = ed - st
     sparse_info = {"sparse": True, "rate": args.sparse_rate, "pattern": args.pattern}
 
-    fp_provider = ActivationProvider(graph_ori, args, st, ed)
+    fp_provider = make_activation_provider(graph_ori, args, st, ed)
     graph_q, _ = quant_graph(graph_sq, clip_val, args)
-    q_provider = ActivationProvider(graph_q, args, st, ed)
+    q_provider = make_activation_provider(graph_q, args, st, ed)
 
     for node in graph_ori.graph.node:
         if node.name in args.skip_layers:

@@ -236,3 +236,114 @@ def test_adaround_w4_beats_nearest(calib_env):
         errs.append(float(np.abs(q - f).mean()))
     nearest_err, ada_err = errs
     assert ada_err <= nearest_err * 1.05, (nearest_err, ada_err)
+
+
+def _residual_model(seed=0):
+    """conv1 -> relu -> conv2 -> Add(skip r1) -> relu -> conv3: the skip
+    edge keeps r1 live across several cuts (exercises frontier liveness)."""
+    rng = np.random.RandomState(seed)
+    inits = [
+        oir.array_to_tensor(rng.randn(4, 3, 3, 3).astype(np.float32) * 0.4, "w1"),
+        oir.array_to_tensor(rng.randn(4, 4, 3, 3).astype(np.float32) * 0.4, "w2"),
+        oir.array_to_tensor(rng.randn(4, 4, 3, 3).astype(np.float32) * 0.4, "w3"),
+    ]
+    conv = dict(kernel_shape=[3, 3], pads=[1, 1, 1, 1], strides=[1, 1],
+                dilations=[1, 1], group=1)
+    nodes = [
+        oir.make_node("Conv", ["x", "w1"], ["c1"], name="conv1", **conv),
+        oir.make_node("Relu", ["c1"], ["r1"], name="relu1"),
+        oir.make_node("Conv", ["r1", "w2"], ["c2"], name="conv2", **conv),
+        oir.make_node("Add", ["r1", "c2"], ["a1"], name="add1"),
+        oir.make_node("Relu", ["a1"], ["r2"], name="relu2"),
+        oir.make_node("Conv", ["r2", "w3"], ["c3"], name="conv3", **conv),
+    ]
+    graph = oir.make_graph(nodes, "g",
+                           [oir.make_tensor_value_info("x", oir.DataType.FLOAT, [1, 3, 8, 8])],
+                           [oir.make_tensor_value_info("c3", oir.DataType.FLOAT, [1, 4, 8, 8])],
+                           initializer=inits)
+    g = GraphIR(oir.make_model(graph))
+    simplify_graph(g)
+    return g
+
+
+def _driver_pattern(provider, g, update: bool):
+    """Mimic the drivers' request sequences: the q provider requests each
+    learnable node's INPUT then updates that node's weight (adaround's
+    incremental reuse); the fp provider requests outputs and never
+    updates.  (Requesting a node's output and THEN updating its weight is
+    not a pattern any driver uses — cached activations would legitimately
+    diverge from a full replay there, as in the reference's cache.)"""
+    rng = np.random.RandomState(3)
+    got = {}
+    for node in g.graph.node:
+        if node.op_type != "Conv":
+            continue
+        if update:
+            got[node.name + ":in"] = np.asarray(
+                provider.get(node.input[0])[node.input[0]])
+            w = g.get_initializer(node.input[1])
+            provider.update_weight(node.input[1],
+                                   w + 0.01 * rng.randn(*w.shape).astype(np.float32))
+        else:
+            got[node.name + ":out"] = np.asarray(
+                provider.get(node.output[0], relu=True)[node.output[0]])
+    return got
+
+
+def test_segmented_provider_matches_full_replay(tmp_path):
+    """SegmentedActivationProvider must produce the same activations as the
+    full-prefix-replay ActivationProvider under the drivers' topo-ordered
+    request + incremental weight-update pattern, in ~1 full-net forward."""
+    from dipoorlet_tpu.wtrans.common import ActivationProvider, \
+        SegmentedActivationProvider
+    make_synthetic_dataset(str(tmp_path / "d"), {"x": [1, 3, 8, 8]}, 6, seed=4)
+    args = Args(input_dir=str(tmp_path / "d"), data_num=6)  # 6 % 4 != 0: pad path
+    for update in (True, False):
+        g1, g2 = _residual_model(), _residual_model()
+        full = ActivationProvider(g1, args, 0, 6)
+        seg = SegmentedActivationProvider(g2, args, 0, 6)
+        got_full = _driver_pattern(full, g1, update)
+        got_seg = _driver_pattern(seg, g2, update)
+        assert set(got_full) == set(got_seg)
+        for k in got_full:
+            np.testing.assert_allclose(got_seg[k], got_full[k], rtol=1e-6,
+                                       atol=1e-6, err_msg=k)
+        # each node ran at most once per sweep: <=1 full-net forward total
+        assert seg.sweep_equivalents() <= 1.01
+        assert seg.pos > 0
+
+
+def test_segmented_provider_host_offload(tmp_path, monkeypatch):
+    """With a ~zero activation budget the frontier lives in host RAM and is
+    streamed back per batch; results must be unchanged."""
+    from dipoorlet_tpu.wtrans.common import ActivationProvider, \
+        SegmentedActivationProvider
+    make_synthetic_dataset(str(tmp_path / "d"), {"x": [1, 3, 8, 8]}, 8, seed=5)
+    args = Args(input_dir=str(tmp_path / "d"), data_num=8)
+    monkeypatch.setenv("DIPOORLET_TPU_ACT_BUDGET_GB", "0.0000001")
+    g1, g2 = _residual_model(seed=1), _residual_model(seed=1)
+    seg = SegmentedActivationProvider(g2, args, 0, 8)
+    full = ActivationProvider(g1, args, 0, 8)
+    got_full = _driver_pattern(full, g1, update=True)
+    got_seg = _driver_pattern(seg, g2, update=True)
+    assert seg.host_frontier  # the budget forced host offload
+    for k in got_full:
+        np.testing.assert_allclose(got_seg[k], got_full[k], rtol=1e-6, atol=1e-6,
+                                   err_msg=k)
+
+
+def test_adaround_same_result_segmented_vs_full(calib_env, monkeypatch):
+    """The default (segmented) adaround run must match the full-replay run."""
+    from dipoorlet_tpu.wtrans import adaround
+    data_dir, ws = calib_env
+    results = {}
+    for mode in ("1", "0"):
+        monkeypatch.setenv("DIPOORLET_TPU_SEGMENTED", mode)
+        g = _two_conv_model(seed=13)
+        g.output_dir = ""
+        act, wt = _ranges(g, data_dir)
+        args = Args(act_quant="minmax", input_dir=data_dir, data_num=8, ada_epoch=40)
+        g_ada = adaround(g, g.clone(), act, wt, args)
+        results[mode] = {n: g_ada.get_initializer(n) for n in ("w1", "w2")}
+    for n in results["1"]:
+        np.testing.assert_array_equal(results["1"][n], results["0"][n])
