@@ -1,8 +1,11 @@
 """Benchmark: end-to-end INT8 calibration throughput (ResNet-18 @ 224,
-minmax + 2048-bin histogram passes over 100 samples).
+minmax + 2048-bin histogram passes over 100 samples) plus the north-star
+reconstruction workload (AdaRound end-to-end) and a roofline estimate.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/s", "vs_baseline": N,
+   "extra": {per-pass seconds, adaround seconds, achieved FLOP/s,
+             fraction-of-roofline vs the chip's bf16 peak and HBM bw}}
 
 vs_baseline compares against a reference-architecture emulation measured
 once on this host and cached: per-sample batch-1 torch-CPU forward with
@@ -15,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -35,29 +39,41 @@ N_SAMPLES = 100
 IMG = 224
 BINS = 2048
 BATCH = int(os.environ.get("DIPOORLET_BENCH_BATCH", "16"))
+SKIP_ADAROUND = os.environ.get("DIPOORLET_BENCH_SKIP_ADAROUND", "0") == "1"
+
+# bf16 matmul peak (FLOP/s) and HBM bandwidth (B/s) per TPU generation —
+# public spec-sheet numbers (same table the scaling book uses).
+PEAKS = {
+    "v4": (275e12, 1.23e12),
+    "v5 lite": (197e12, 0.82e12),
+    "v5e": (197e12, 0.82e12),
+    "v5p": (459e12, 2.77e12),
+    "v6 lite": (918e12, 1.64e12),
+    "v6e": (918e12, 1.64e12),
+}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def ensure_model():
+def ensure_model(img=IMG):
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"resnet18_{IMG}.onnx")
+    path = os.path.join(CACHE, f"resnet18_{img}.onnx")
     if not os.path.exists(path):
         from torch_export import export_zoo_model
-        log("exporting resnet18 ...")
-        export_zoo_model("resnet18", path, image_size=IMG)
+        log(f"exporting resnet18 @{img} ...")
+        export_zoo_model("resnet18", path, image_size=img)
     return path
 
 
-def ensure_data():
-    data_dir = os.path.join(CACHE, f"calib_{IMG}_{N_SAMPLES}")
+def ensure_data(img=IMG, n=N_SAMPLES):
+    data_dir = os.path.join(CACHE, f"calib_{img}_{n}")
     marker = os.path.join(data_dir, ".done")
     if not os.path.exists(marker):
         from dipoorlet_tpu.runtime.data import make_synthetic_dataset
         log("synthesizing calibration set ...")
-        make_synthetic_dataset(data_dir, {"input": [1, 3, IMG, IMG]}, N_SAMPLES, seed=0)
+        make_synthetic_dataset(data_dir, {"input": [1, 3, img, img]}, n, seed=0)
         open(marker, "w").write("ok")
     return data_dir
 
@@ -112,9 +128,40 @@ def measure_baseline():
     return sps
 
 
-def measure_ours():
+def roofline(g, t_fused):
+    """Achieved FLOP/s over the fused two-pass calibration vs the chip's
+    published bf16 matmul peak and HBM bandwidth (whichever binds)."""
+    import jax
+    from dipoorlet_tpu.utils.flops import activation_bytes, model_flops, weight_bytes
+
+    fwd_flops = model_flops(g)
+    # the histogram pass adds an int8 one-hot matmul per activation tensor:
+    # 2 * elems * (hi_n + lo_n) MAC-FLOPs (calib/stats.py matmul_histogram)
+    lo_n = min(32, BINS)
+    hi_n = -(-BINS // lo_n)
+    act_elems = activation_bytes(g, dtype_bytes=1) // 2  # elems (written+read)/2
+    hist_flops = 2 * act_elems * (hi_n + lo_n)
+    total_flops = N_SAMPLES * (2 * fwd_flops + hist_flops)
+    total_bytes = N_SAMPLES * (2 * activation_bytes(g) + 2 * weight_bytes(g))
+    achieved_fps = total_flops / t_fused
+    achieved_bps = total_bytes / t_fused
+    kind = jax.devices()[0].device_kind.lower()
+    peak = next((v for k, v in PEAKS.items() if k in kind), None)
+    out = {
+        "device_kind": jax.devices()[0].device_kind,
+        "achieved_tflops": round(achieved_fps / 1e12, 3),
+        "achieved_hbm_gbps": round(achieved_bps / 1e9, 2),
+    }
+    if peak:
+        out["mfu_vs_bf16_peak"] = round(achieved_fps / peak[0], 4)
+        out["fraction_hbm_roofline"] = round(achieved_bps / peak[1], 4)
+    return out
+
+
+def measure_ours(extra):
     from dipoorlet_tpu.calib.stats import StatsRunner
     from dipoorlet_tpu.graph import GraphIR
+    from dipoorlet_tpu.parallel import default_data_mesh
     from dipoorlet_tpu.runtime import Executor
     from dipoorlet_tpu.runtime.data import CalibDataset
 
@@ -126,7 +173,7 @@ def measure_ours():
     ex = Executor(g)
     params = ex.init_params()
     dataset = CalibDataset(data_dir, ex.input_shapes(), N_SAMPLES)
-    runner = StatsRunner(ex)
+    runner = StatsRunner(ex, mesh=default_data_mesh())
 
     # first run includes jit compile + data upload; second run is the
     # steady-state cost a production calibration pays.  The fused pass does
@@ -134,24 +181,57 @@ def measure_ours():
     # single host sync — the same two-pass work as the reference's
     # forward_get_minmax + forward_get_hist.
     t0 = time.time()
-    runner.run_minmax_hist(params, dataset, BINS, batch_size=BATCH)
+    mm, _ = runner.run_minmax_hist(params, dataset, BINS, batch_size=BATCH)
     log(f"minmax+hist compile+pass: {time.time() - t0:.1f}s")
     t0 = time.time()
     runner.run_minmax_hist(params, dataset, BINS, batch_size=BATCH)
     t_fused = time.time() - t0
     log(f"minmax+hist fused pass: {t_fused:.2f}s ({N_SAMPLES / t_fused:.1f} samples/s)")
 
+    # per-pass breakdown (warm): each phase alone, same compiled programs
+    t0 = time.time()
+    runner.run_minmax(params, dataset, batch_size=BATCH)
+    extra["minmax_pass_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    runner.run_hist(params, dataset, mm, BINS, batch_size=BATCH)
+    extra["hist_pass_s"] = round(time.time() - t0, 3)
+    extra["fused_pass_s"] = round(t_fused, 3)
+    extra.update(roofline(g, t_fused))
+    log(f"breakdown: minmax {extra['minmax_pass_s']}s, hist {extra['hist_pass_s']}s, "
+        f"roofline {extra}")
     return N_SAMPLES / t_fused
+
+
+def measure_adaround(extra):
+    """North-star reconstruction workload, directly comparable to the
+    round-1 record (BASELINE.md): AdaRound over ResNet-18 @64 (21 learnable
+    layers), 16 samples, ada_epoch=100 — full CLI end-to-end wall-clock."""
+    from dipoorlet_tpu.__main__ import main
+    model_path = ensure_model(img=64)
+    data_dir = ensure_data(img=64, n=16)
+    out_dir = os.path.join(CACHE, "ada_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    argv = ["-M", model_path, "-I", data_dir, "-O", out_dir, "-N", "16",
+            "-A", "minmax", "-D", "trt", "--adaround", "--ada_epoch", "100"]
+    t0 = time.time()
+    main(argv)
+    dt = time.time() - t0
+    extra["adaround_e2e_s"] = round(dt, 1)
+    log(f"adaround e2e (resnet18@64, 16 samples, 100 epochs): {dt:.1f}s")
 
 
 def main():
     baseline = measure_baseline()
-    ours = measure_ours()
+    extra = {}
+    ours = measure_ours(extra)
+    if not SKIP_ADAROUND:
+        measure_adaround(extra)
     print(json.dumps({
         "metric": "resnet18_int8_calibration_throughput",
         "value": round(ours, 3),
         "unit": "samples/s",
         "vs_baseline": round(ours / baseline, 3),
+        "extra": extra,
     }))
 
 

@@ -1,0 +1,128 @@
+"""Probe-once gating for the TPU fast paths.
+
+Two calibration fast paths have a compile-time risk profile that varies
+by backend (the remote TPU compile service has shown multi-minute
+tails): the Pallas VMEM-resident OCTAV kernel (calib/kernels.py) and the
+whole-pass `lax.scan` calibration driver (calib/stats.py).  Instead of
+env-var opt-ins, each feature is probed ONCE per (backend, jax version)
+— compile + execute + numerics check under a wall-clock budget — and the
+outcome is cached on disk, so the best available path is the default
+with no configuration.
+
+Env vars still force-override the probe for debugging:
+  DIPOORLET_TPU_PALLAS=1|0, DIPOORLET_TPU_SCAN_CALIB=1|0.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+_ENV_VARS = {
+    "pallas_octav": "DIPOORLET_TPU_PALLAS",
+    "scan_calib": "DIPOORLET_TPU_SCAN_CALIB",
+}
+
+# A probe that compiles+runs slower than this is recorded as disabled:
+# the fast path would cost more in one-time compile than it saves.
+BUDGET_S = {"pallas_octav": 120.0, "scan_calib": 180.0}
+
+_mem_cache = {}
+
+
+def _cache_path() -> str:
+    override = os.environ.get("DIPOORLET_TPU_AUTOTUNE_CACHE")
+    if override:
+        return override
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"dipoorlet_tpu_autotune_{uid}.json")
+
+
+def _key(feature: str) -> str:
+    import jax
+    return f"{feature}:{jax.default_backend()}:{jax.__version__}"
+
+
+def _load() -> dict:
+    try:
+        with open(_cache_path()) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def _store(key: str, enabled: bool, seconds: float, note: str = ""):
+    _mem_cache[key] = enabled
+    data = _load()
+    data[key] = {"enabled": enabled, "probe_seconds": round(seconds, 2), "note": note}
+    try:
+        tmp = _cache_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1)
+        os.replace(tmp, _cache_path())
+    except Exception:
+        pass  # cache is an optimization; never fail the pipeline over it
+
+
+def cached_decision(feature: str):
+    """Returns True/False if decided (env override or cached probe),
+    None if the feature still needs probing."""
+    env = os.environ.get(_ENV_VARS[feature])
+    if env is not None:
+        return env == "1"
+    key = _key(feature)
+    if key in _mem_cache:
+        return _mem_cache[key]
+    rec = _load().get(key)
+    if rec is not None:
+        _mem_cache[key] = bool(rec["enabled"])
+        return _mem_cache[key]
+    return None
+
+
+def record(feature: str, enabled: bool, seconds: float, note: str = ""):
+    """Record a probe outcome observed in situ (used by the scan path,
+    whose first real compile IS the probe)."""
+    _store(_key(feature), enabled, seconds, note)
+
+
+def pallas_octav_enabled() -> bool:
+    """Probe-once gate for the Pallas OCTAV kernel.
+
+    The probe compiles and runs the kernel on a tiny tensor and checks it
+    against the plain-XLA fixed point; any Mosaic failure, numeric
+    mismatch, or over-budget compile disables it (cached)."""
+    decided = cached_decision("pallas_octav")
+    if decided is not None:
+        return decided
+    import jax
+    if jax.default_backend() == "cpu":
+        # kernels.use_pallas() gates CPU off anyway; record to skip re-probing
+        record("pallas_octav", False, 0.0, "cpu backend")
+        return False
+    t0 = time.time()
+    try:
+        import numpy as np
+        import jax.numpy as jnp
+        from .kernels import octav_pallas
+        from .stats import make_octav_transform
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(4096).astype(np.float32))
+        s_pl, lo_pl, hi_pl = jax.device_get(octav_pallas(x, False))
+        ref_fn = make_octav_transform(False, allow_pallas=False)
+        s_x, lo_x, hi_x = jax.device_get(jax.jit(lambda v: ref_fn("probe", v))(x))
+        ok = (abs(float(s_pl) - float(s_x)) <= 1e-4 * max(1.0, abs(float(s_x)))
+              and float(lo_pl) == float(lo_x) and float(hi_pl) == float(hi_x))
+        dt = time.time() - t0
+        enabled = ok and dt <= BUDGET_S["pallas_octav"]
+        record("pallas_octav", enabled, dt,
+               "" if ok else "numeric mismatch vs XLA fixed point")
+        return enabled
+    except Exception as e:  # Mosaic compile failure, relay error, ...
+        record("pallas_octav", False, time.time() - t0, f"{type(e).__name__}: {e}"[:200])
+        return False
+
+
+def scan_budget() -> float:
+    return BUDGET_S["scan_calib"]

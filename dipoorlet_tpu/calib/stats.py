@@ -31,10 +31,11 @@ def _per_sample_minmax(name, x):
 
 def make_octav_transform(dynamic_sym: bool, allow_pallas: bool = None):
     if allow_pallas is None:
-        # opt-in: the VMEM-resident kernel is faster per pass, but remote
-        # Mosaic compiles have proven unreliable on this relay
-        import os
-        allow_pallas = os.environ.get("DIPOORLET_TPU_PALLAS", "0") == "1"
+        # probe-once: compile+run the kernel on a tiny tensor, check
+        # numerics vs the XLA fixed point, cache the outcome per backend
+        # (calib/autotune.py).  DIPOORLET_TPU_PALLAS=1|0 force-overrides.
+        from .autotune import pallas_octav_enabled
+        allow_pallas = pallas_octav_enabled()
 
     def octav(name, x):
         if allow_pallas:
@@ -236,23 +237,43 @@ class StatsRunner:
         per batch into a device-resident carry.  With fetch=False the carry
         is returned still on device (no host sync) so a downstream pass can
         consume it without a relay round-trip."""
-        import os
+        import time
+        from . import autotune
         params = self._device_params(params)
         end_ = dataset.num if end is None else end
         n_total = max(0, end_ - start)
         shard_bytes = n_total * sum(
             4 * int(np.prod(s)) for s in dataset.input_shapes.values())
-        # The whole-pass lax.scan amortizes dispatch to one call, but its
-        # compile has proven pathologically slow on the remote-compile
-        # service; opt-in until that stabilizes.
-        use_scan = os.environ.get("DIPOORLET_TPU_SCAN_CALIB", "0") == "1"
+        # The whole-pass lax.scan amortizes per-batch dispatch (~30 ms each
+        # over the remote relay) into one call, but its compile has shown
+        # multi-minute tails on the remote-compile service.  Probe-once:
+        # the FIRST real scan compile is the probe — timed, and its outcome
+        # (ok / failed / over budget) cached per backend so every later run
+        # takes the best path with no env vars (autotune.py).
+        use_scan = autotune.cached_decision("scan_calib")
         if 0 < shard_bytes <= self.DEVICE_RESIDENT_BYTES:
             data, valids, n_cached = self._dataset_device_cache(dataset, batch_size,
                                                                 start, end)
-            if use_scan:
-                pass_fn = self._scan_fn(kind)
-                carry = pass_fn(params, data, valids, jax.device_put(carry0))
-                return (jax.device_get(carry) if fetch else carry), n_cached
+            if use_scan or use_scan is None:
+                already_compiled = (kind, "scan", "compiled") in self._fns
+                t0 = time.time()
+                try:
+                    pass_fn = self._scan_fn(kind)
+                    carry = pass_fn(params, data, valids, jax.device_put(carry0))
+                    jax.block_until_ready(carry)
+                except Exception as e:
+                    if use_scan is None:
+                        autotune.record("scan_calib", False, time.time() - t0,
+                                        f"{type(e).__name__}: {e}"[:200])
+                        self._fns.pop((kind, "scan"), None)
+                    else:
+                        raise
+                else:
+                    if use_scan is None and not already_compiled:
+                        dt = time.time() - t0
+                        autotune.record("scan_calib", dt <= autotune.scan_budget(), dt)
+                    self._fns[(kind, "scan", "compiled")] = True
+                    return (jax.device_get(carry) if fetch else carry), n_cached
             # default: device-resident batches through the per-batch jitted
             # step — same compiled program as the streaming path (no new
             # compile), but the dataset is uploaded ONCE and every pass after

@@ -12,6 +12,10 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+# hermetic autotune: probe decisions must not leak across test runs or
+# in from a TPU session's cache (calib/autotune.py)
+os.environ["DIPOORLET_TPU_AUTOTUNE_CACHE"] = os.path.join(
+    os.environ.get("TMPDIR", "/tmp"), f"dipoorlet_autotune_test_{os.getpid()}.json")
 
 import jax  # noqa: E402
 
