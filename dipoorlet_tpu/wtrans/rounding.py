@@ -40,10 +40,19 @@ def temp_decay_beta(t, t_max, rel_start_decay=0.2, start_b=20.0, end_b=2.0):
 
 
 def adaround_reg(mask, t, t_max):
-    """alpha * sum(1 - |2(h(mask) - 0.5)|^beta)."""
+    """alpha * sum(1 - |2(h(mask) - 0.5)|^beta); 0 before decay starts
+    (reference zeroes round_loss pre-decay, ada_quant_layer.py:104-106).
+
+    The pre-decay zero must NOT be expressed as x^0 == 1: at h == 0.5
+    (x == 0, e.g. a weight whose fractional part is exactly 0.5) the
+    gradient of x^0 is 0 * x^-1 == NaN, which Adam propagates into the
+    mask permanently.  Clamp beta to its post-decay floor of 2 inside the
+    power (grad at x=0 is then 0) and select the branch with where()."""
     beta = temp_decay_beta(t, t_max)
     h = rectified_sigmoid(mask)
-    return ALPHA * jnp.sum(1.0 - jnp.power(jnp.abs(h - 0.5) * 2.0, beta))
+    reg = ALPHA * jnp.sum(1.0 - jnp.power(jnp.abs(h - 0.5) * 2.0,
+                                          jnp.maximum(beta, 2.0)))
+    return jnp.where(beta > 0.0, reg, 0.0)
 
 
 def _qp_broadcast(v, ndim):

@@ -347,3 +347,22 @@ def test_adaround_same_result_segmented_vs_full(calib_env, monkeypatch):
         results[mode] = {n: g_ada.get_initializer(n) for n in ("w1", "w2")}
     for n in results["1"]:
         np.testing.assert_array_equal(results["1"][n], results["0"][n])
+
+
+def test_adaround_reg_grad_finite_at_half_rest():
+    """Regression: a weight whose fractional part is exactly 0.5 (h==0.5)
+    must not produce a NaN gradient before the beta decay starts — the
+    x^0 formulation of the pre-decay regularizer had grad 0 * x^-1."""
+    import jax
+    import jax.numpy as jnp
+    from dipoorlet_tpu.wtrans.rounding import adaround_reg, init_round_mask
+
+    mask = init_round_mask(jnp.asarray(np.array([0.5, 0.25], np.float32)))
+    for t in (0.0, 10.0, 30.0, 124.0):
+        v, g = jax.value_and_grad(
+            lambda m: adaround_reg(m, jnp.float32(t), 125.0))(mask)
+        assert np.isfinite(float(v)), t
+        assert np.isfinite(np.asarray(g)).all(), t
+    # pre-decay the regularizer is exactly zero (reference
+    # ada_quant_layer.py:104-106 zeroes round_loss before start_decay)
+    assert float(adaround_reg(mask, jnp.float32(0.0), 125.0)) == 0.0
