@@ -51,6 +51,11 @@ def build_parser():
     parser.add_argument("--sparse_rate", help="Sparse rate", type=float, default=0.5)
     parser.add_argument("--pattern", help="Sparse pattern",
                         choices=["unstruction", "nv24"], default="unstruction")
+    parser.add_argument("--stats_chunk", help="Max tensors tapped per compiled "
+                        "calibration pass (bounds compile size and live stats "
+                        "memory on transformer-scale graphs; 0 = single pass; "
+                        "default 512 with --optim_transformer).",
+                        type=int, default=0)
     parser.add_argument("--optim_transformer", help="Transformer model optimization",
                         default=False, action="store_true")
     parser.add_argument("--model_type", help="Transformer model type", choices=["unet"], default=None)
@@ -138,6 +143,8 @@ def main(argv=None):
     if args.model_type is not None:
         args.optim_transformer = True
         args.skip_prof_layer = True
+    if args.optim_transformer and args.stats_chunk == 0:
+        args.stats_chunk = 512
 
     if rank == 0:
         os.makedirs(args.output_dir, exist_ok=True)
@@ -149,6 +156,12 @@ def main(argv=None):
         sys.exit(1)
     onnx_graph = GraphIR.load(args.model, output_dir=args.output_dir,
                               deploy=args.deploy, model_type=args.model_type)
+    if args.optim_transformer:
+        # TPU-native stand-in for the reference's ORT transformer-optimizer
+        # subprocess (reference __main__.py:85-89): fuse decomposed
+        # LayerNorm/GELU patterns before calibration
+        from .graph.transformer_opt import optimize_transformer
+        optimize_transformer(onnx_graph)
     if rank == 0 and not args.optim_transformer:
         from .graph import validate_graph
         try:

@@ -43,7 +43,8 @@ def _runner(graph, args):
     # production multi-chip: batches shard over the CLI-built 'data' mesh
     # (the reference's per-GPU DP, forward_net.py:207-209, as SPMD)
     runner = StatsRunner(ex, mesh=getattr(args, "mesh", None),
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         tap_chunk=getattr(args, "stats_chunk", 0) or None)
     return runner, params, dataset
 
 

@@ -100,7 +100,8 @@ class StatsRunner:
     partial batches run replicated."""
 
     def __init__(self, executor: Executor, tensor_names: Optional[Sequence[str]] = None,
-                 mesh=None, compute_dtype=None):
+                 mesh=None, compute_dtype=None, tap_chunk: Optional[int] = None,
+                 data_cache: Optional[dict] = None):
         self.ex = executor
         self.tensor_names = list(tensor_names) if tensor_names is not None \
             else self.ex.all_tensor_names()
@@ -108,12 +109,33 @@ class StatsRunner:
         # bf16 forwards halve HBM traffic; statistics stay f32. Opt-in:
         # ranges differ from f32 by bf16 rounding (~0.4%).
         self.compute_dtype = compute_dtype
+        # memory/compile bound for transformer-scale graphs: at most this
+        # many tensors are tapped per compiled pass; the dataset's device
+        # cache is shared across chunks so extra passes cost compute, not
+        # transfer.  The TPU analogue of the reference's ActivationCache
+        # stats path (forward_net.py:345-456), which bounds memory by
+        # re-forwarding per node.
+        self.tap_chunk = tap_chunk
+        self._subrunners = None
         self._fns = {}
+        self._data_cache = data_cache if data_cache is not None else {}
         self._dev_params = None  # (source dict, id token, device copy)
         # introspection: the sharding actually applied to calibration data
         # on the last pass (None = replicated/single-device). CLI-level
         # tests assert on this to prove production runs shard over the mesh.
         self.last_data_sharding = None
+
+    def _sub_runners(self):
+        if not self.tap_chunk or len(self.tensor_names) <= self.tap_chunk:
+            return None
+        if self._subrunners is None:
+            c = int(self.tap_chunk)
+            self._subrunners = [
+                StatsRunner(self.ex, self.tensor_names[i:i + c], mesh=self.mesh,
+                            compute_dtype=self.compute_dtype,
+                            data_cache=self._data_cache)
+                for i in range(0, len(self.tensor_names), c)]
+        return self._subrunners
 
     def _mesh_shards(self) -> int:
         if self.mesh is None:
@@ -195,7 +217,7 @@ class StatsRunner:
         'data' axis, so every subsequent pass runs SPMD straight from the
         per-chip HBM shards."""
         key = ("data", batch_size, start, end)
-        if key not in self._fns:
+        if key not in self._data_cache:
             sharding = None
             if self.mesh is not None and batch_size % self._mesh_shards() == 0:
                 from ..parallel.mesh import batched_data_sharding
@@ -213,8 +235,8 @@ class StatsRunner:
             data = {name: jax.device_put(np.stack(v), sharding)
                     for name, v in chunks.items()}
             valid = jax.device_put(np.stack(valids).astype(np.float32), sharding)
-            self._fns[key] = (data, valid, n_total)
-        return self._fns[key]
+            self._data_cache[key] = (data, valid, n_total)
+        return self._data_cache[key]
 
     def _scan_fn(self, kind):
         key = (kind, "scan")
@@ -341,6 +363,13 @@ class StatsRunner:
 
     def run_minmax(self, params, dataset, batch_size=32, start=0, end=None):
         """Returns {name: {'min': scalar, 'max': scalar}} reduced over samples."""
+        subs = self._sub_runners()
+        if subs:
+            out = {}
+            for r in subs:
+                out.update(r.run_minmax(params, dataset, batch_size, start, end))
+            self.last_data_sharding = subs[-1].last_data_sharding
+            return out
         names = self.tensor_names
         kind = self._ensure_minmax()
         (lo, hi), _ = self._run_pass(kind, params, dataset, batch_size, start, end,
@@ -397,6 +426,14 @@ class StatsRunner:
 
     def run_hist(self, params, dataset, stats_min_max, bins, batch_size=32, start=0, end=None):
         """Returns {name: (bins,) int64 summed histogram} (per-shard)."""
+        subs = self._sub_runners()
+        if subs:
+            out = {}
+            for r in subs:
+                out.update(r.run_hist(params, dataset, stats_min_max, bins,
+                                      batch_size, start, end))
+            self.last_data_sharding = subs[-1].last_data_sharding
+            return out
         names = self.tensor_names
         amax = np.array([max(stats_min_max[n]["max"], -stats_min_max[n]["min"])
                          for n in names], np.float32)
@@ -419,6 +456,15 @@ class StatsRunner:
         halves the blocking round-trips of `-A hist` / `-A kl` calibration.
 
         Returns (stats_min_max_dict, hists_dict)."""
+        subs = self._sub_runners()
+        if subs:
+            stats, hists = {}, {}
+            for r in subs:
+                s, h = r.run_minmax_hist(params, dataset, bins, batch_size, start, end)
+                stats.update(s)
+                hists.update(h)
+            self.last_data_sharding = subs[-1].last_data_sharding
+            return stats, hists
         names = self.tensor_names
         mm_kind = self._ensure_minmax()
         (lo, hi), _ = self._run_pass(mm_kind, params, dataset, batch_size, start, end,
@@ -442,6 +488,14 @@ class StatsRunner:
     # -- OCTAV -------------------------------------------------------------
     def run_octav(self, params, dataset, dynamic_sym, batch_size=32, start=0, end=None):
         """Returns {name: {'s_sum':, 'count':, 'min':, 'max':}} per tensor."""
+        subs = self._sub_runners()
+        if subs:
+            out = {}
+            for r in subs:
+                out.update(r.run_octav(params, dataset, dynamic_sym,
+                                       batch_size, start, end))
+            self.last_data_sharding = subs[-1].last_data_sharding
+            return out
         names = self.tensor_names
         big = np.float32(np.finfo(np.float32).max)
 

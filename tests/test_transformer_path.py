@@ -90,3 +90,72 @@ def test_transformer_cli(tfm, tmp_path):
           "--batch_size", "2", "--cpu"])
     enc = json.load(open(os.path.join(out, "snpe_encodings.json")))
     assert len(enc["activation_encodings"]) > 5
+
+
+def test_layernorm_gelu_fusion_parity(tfm, rng):
+    """--optim_transformer fusion: decomposed LayerNorm/GELU chains become
+    single ops (TPU stand-in for the reference's ORT transformer optimizer,
+    reference __main__.py:85-89) with unchanged numerics."""
+    from dipoorlet_tpu.graph.transformer_opt import optimize_transformer
+    m, path = tfm
+    g = GraphIR.load(path)
+    n_before = len(g.graph.node)
+    fused = optimize_transformer(g)
+    ops = [n.op_type for n in g.graph.node]
+    assert fused == 3  # ln1, ln2, gelu
+    assert ops.count("LayerNormalization") == 2
+    assert ops.count("Gelu") == 1
+    assert "Erf" not in ops
+    assert len(g.graph.node) < n_before - 10
+    ex = Executor(g)
+    x = rng.randn(1, 8, 32).astype(np.float32)
+    out, _ = ex.forward(ex.init_params(), {"input": x})
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(out[g.network_outputs[0]]), ref,
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_fusion_skips_externally_consumed_interior(tfm):
+    """A LN interior tensor that is also a network output must block fusion
+    of that pattern (its range would otherwise be lost)."""
+    from dipoorlet_tpu.graph.transformer_opt import optimize_transformer
+    from dipoorlet_tpu import onnx_ir as oir
+    _, path = tfm
+    g = GraphIR.load(path)
+    # promote one ln1 interior tensor to a network output
+    interior = "/ln1/Sub_output_0"
+    shp = g.tensor_name_shape_map[interior]
+    g.add_network_output(oir.make_tensor_value_info(interior, oir.DataType.FLOAT, shp))
+    fused = optimize_transformer(g)
+    assert fused == 2  # ln2 + gelu still fuse; ln1 blocked
+    assert any(n.op_type == "Erf" for n in g.graph.node) is False
+
+
+def test_chunked_stats_match_single_pass(tfm, rng, tmp_path):
+    """tap_chunk bounds tensors-per-compiled-pass; results must be
+    bit-identical to the single-pass runner and the dataset device cache
+    must be shared across chunks (uploaded once)."""
+    from dipoorlet_tpu.calib.stats import StatsRunner
+    from dipoorlet_tpu.runtime.data import CalibDataset, make_synthetic_dataset
+    _, path = tfm
+    g = GraphIR.load(path)
+    ex = Executor(g)
+    params = ex.init_params()
+    data_dir = str(tmp_path / "d")
+    make_synthetic_dataset(data_dir, {"input": [1, 8, 32]}, 6, seed=2)
+    ds = CalibDataset(data_dir, ex.input_shapes(), 6)
+
+    full = StatsRunner(ex)
+    chunked = StatsRunner(ex, tap_chunk=5)
+    mm_full = full.run_minmax(params, ds, batch_size=2)
+    mm_chunk = chunked.run_minmax(params, ds, batch_size=2)
+    assert mm_full == mm_chunk
+    assert len(chunked._sub_runners()) > 3
+    # shared device cache: one dataset upload for all chunks
+    assert len(chunked._data_cache) == 1
+    s_full, h_full = full.run_minmax_hist(params, ds, 64, batch_size=2)
+    s_chunk, h_chunk = chunked.run_minmax_hist(params, ds, 64, batch_size=2)
+    assert s_full == s_chunk
+    for k in h_full:
+        np.testing.assert_array_equal(h_full[k], h_chunk[k])

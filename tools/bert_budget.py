@@ -1,0 +1,121 @@
+"""Transformer-scale calibration evidence: BERT-base (~110M params)
+through the production CLI within a stated HBM budget.
+
+The reference bounds transformer memory by switching stats to the
+per-node ActivationCache (reference forward_net.py:345-456); here the
+stats reduce in-trace, `--stats_chunk` bounds tensors-per-compiled-pass,
+and `--optim_transformer` fuses decomposed LayerNorm/GELU first.  This
+tool runs the real pipeline and reports wall time + peak device memory.
+
+Usage: python tools/bert_budget.py [--cpu] [--samples 32] [--seq 128]
+Writes results to docs/TRANSFORMER_BUDGET.json (alongside run artifacts
+in .model_cache/bert_budget_out).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+CACHE = os.path.join(ROOT, ".model_cache")
+VOCAB = 30522
+
+
+def ensure_bert(seq: int) -> str:
+    path = os.path.join(CACHE, f"bert_base_{seq}.onnx")
+    if os.path.exists(path):
+        return path
+    os.makedirs(CACHE, exist_ok=True)
+    import torch
+    from transformers import BertConfig, BertModel
+    from torch_export import export
+
+    cfg = BertConfig(attn_implementation="eager")  # stock bert-base: 12L/768H
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    model.eval()
+    n_params = sum(p.numel() for p in model.parameters())
+    print(f"BERT-base params: {n_params / 1e6:.1f}M", file=sys.stderr)
+    assert n_params > 100e6
+
+    class Wrap(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids):
+            return self.m(input_ids=ids).last_hidden_state
+
+    export(Wrap(model), torch.randint(0, VOCAB, (1, seq)), path)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--samples", type=int, default=32)
+    ap.add_argument("--seq", type=int, default=128)
+    ap.add_argument("--algo", default="hist")
+    ap.add_argument("--budget_gb", type=float, default=8.0,
+                    help="stated HBM budget the run must stay within")
+    args = ap.parse_args()
+
+    if not args.cpu and os.environ.get("JAX_PLATFORMS", "") == "axon":
+        import jax
+        jax.config.update("jax_platforms", "axon,cpu")
+
+    model_path = ensure_bert(args.seq)
+    data_dir = os.path.join(CACHE, f"bert_tokens_{args.seq}_{args.samples}")
+    if not os.path.exists(os.path.join(data_dir, ".done")):
+        from dipoorlet_tpu.runtime.data import save_sample
+        rng = np.random.RandomState(0)
+        for i in range(args.samples):
+            ids = rng.randint(0, VOCAB, size=(1, args.seq)).astype(np.float32)
+            save_sample(data_dir, "input", i, ids)
+        open(os.path.join(data_dir, ".done"), "w").write("ok")
+
+    out_dir = os.path.join(CACHE, "bert_budget_out")
+    argv = ["-M", model_path, "-I", data_dir, "-O", out_dir,
+            "-N", str(args.samples), "-A", args.algo, "-D", "trt",
+            "--batch_size", "8", "--optim_transformer"]
+    if args.cpu:
+        argv.append("--cpu")
+
+    from dipoorlet_tpu.__main__ import main as cli_main
+    t0 = time.time()
+    cli_main(argv)
+    wall = time.time() - t0
+
+    import jax
+    dev = jax.devices()[0]
+    stats = dev.memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use", 0)
+    result = {
+        "model": "bert-base (random init, 109.5M params)",
+        "seq": args.seq,
+        "samples": args.samples,
+        "algo": args.algo,
+        "backend": dev.platform,
+        "device_kind": getattr(dev, "device_kind", "?"),
+        "wall_s": round(wall, 1),
+        "peak_device_bytes": int(peak),
+        "peak_device_gb": round(peak / 2**30, 3),
+        "budget_gb": args.budget_gb,
+        "within_budget": bool(peak <= args.budget_gb * 2**30) if peak else None,
+    }
+    os.makedirs(os.path.join(ROOT, "docs"), exist_ok=True)
+    with open(os.path.join(ROOT, "docs", "TRANSFORMER_BUDGET.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
