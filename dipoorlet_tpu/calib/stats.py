@@ -523,6 +523,49 @@ class StatsRunner:
                     "min": float(lo[i]), "max": float(hi[i])}
                 for i, n in enumerate(names)}
 
+    def memory_analysis(self, params, dataset, bins=2048, batch_size=32):
+        """XLA's compiled memory analysis of the histogram stats step (the
+        widest calibration program): argument/output/temp bytes per chunk.
+        The HBM-budget evidence for transformer-scale models — device
+        memory_stats() is unavailable over remote-device relays."""
+        subs = self._sub_runners()
+        if subs:
+            per = [r.memory_analysis(params, dataset, bins, batch_size) for r in subs]
+            return {
+                "chunks": len(per),
+                "params_bytes": per[0]["params_bytes"],
+                "batch_bytes": per[0]["batch_bytes"],
+                "max_temp_bytes": max(p["max_temp_bytes"] for p in per),
+                "peak_step_bytes": max(p["peak_step_bytes"] for p in per),
+            }
+        scales = np.zeros(len(self.tensor_names), np.float32)
+        kind = self._ensure_hist(bins)
+        step = self._fns[kind][0]
+        p_abs = jax.tree.map(
+            lambda v: jax.ShapeDtypeStruct(np.asarray(v).shape, np.asarray(v).dtype),
+            self._cast_params(params))
+        batch_abs = {n: jax.ShapeDtypeStruct((batch_size,) + tuple(s), np.float32)
+                     for n, s in dataset.input_shapes.items()}
+        valid_abs = jax.ShapeDtypeStruct((batch_size,), np.float32)
+        carry_abs = jax.tree.map(
+            lambda v: jax.ShapeDtypeStruct(np.asarray(v).shape, np.asarray(v).dtype),
+            self._hist_carry0(bins, scales))
+        mem = step.lower(p_abs, batch_abs, valid_abs, carry_abs).compile() \
+                  .memory_analysis()
+        params_bytes = sum(np.asarray(v).nbytes for v in params.values())
+        batch_bytes = sum(int(np.prod(s)) * 4 * batch_size
+                          for s in dataset.input_shapes.values())
+        temp = int(getattr(mem, "temp_size_in_bytes", 0))
+        arg = int(getattr(mem, "argument_size_in_bytes", 0))
+        out = int(getattr(mem, "output_size_in_bytes", 0))
+        return {
+            "chunks": 1,
+            "params_bytes": params_bytes,
+            "batch_bytes": batch_bytes,
+            "max_temp_bytes": temp,
+            "peak_step_bytes": arg + out + temp,
+        }
+
     # -- raw tensor collection (ActivationCache analogue) -------------------
     def collect(self, params, dataset, taps, batch_size=8, start=0, end=None):
         """Materialize the given tensors for all samples: {name: (N, *shape)}.

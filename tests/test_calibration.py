@@ -154,9 +154,12 @@ def test_kl_calibration(small_model):
 
 def test_kl_threshold_outlier_vs_gaussian():
     from dipoorlet_tpu.calib.kl import kl_optimal_threshold
-    # distribution with a huge outlier tail bin: clip should drop it
+    # noisy body + lone far outlier: keeping the outlier would stretch the
+    # 128 quantization buckets over 256 bins (2 bins/bucket -> real
+    # averaging error on a NON-uniform body), so the clip should drop it
+    rng = np.random.RandomState(3)
     hist = np.zeros(256, dtype=np.int64)
-    hist[:128] = 1000
+    hist[:128] = rng.randint(500, 1500, 128)
     hist[255] = 1
     i = kl_optimal_threshold(hist)
     assert 128 <= i <= 192
