@@ -22,11 +22,12 @@ import time
 _ENV_VARS = {
     "pallas_octav": "DIPOORLET_TPU_PALLAS",
     "scan_calib": "DIPOORLET_TPU_SCAN_CALIB",
+    "pallas_hist": "DIPOORLET_TPU_PALLAS_HIST",
 }
 
 # A probe that compiles+runs slower than this is recorded as disabled:
 # the fast path would cost more in one-time compile than it saves.
-BUDGET_S = {"pallas_octav": 120.0, "scan_calib": 180.0}
+BUDGET_S = {"pallas_octav": 120.0, "scan_calib": 180.0, "pallas_hist": 240.0}
 
 _mem_cache = {}
 
@@ -121,6 +122,60 @@ def pallas_octav_enabled() -> bool:
         return enabled
     except Exception as e:  # Mosaic compile failure, relay error, ...
         record("pallas_octav", False, time.time() - t0, f"{type(e).__name__}: {e}"[:200])
+        return False
+
+
+def pallas_hist_enabled() -> bool:
+    """Probe-once gate for the Pallas VMEM-resident histogram kernel.
+
+    The probe checks bit-exact counts vs the XLA matmul-histogram AND races
+    the two paths warm (64 reps folded inside one dispatch so remote-relay
+    latency cancels); the kernel is enabled only when it is correct, within
+    the compile budget, and not slower than the XLA path it replaces."""
+    decided = cached_decision("pallas_hist")
+    if decided is not None:
+        return decided
+    import jax
+    if jax.default_backend() == "cpu":
+        record("pallas_hist", False, 0.0, "cpu backend")
+        return False
+    t0 = time.time()
+    try:
+        import numpy as np
+        import jax.numpy as jnp
+        from .kernels import histogram_pallas
+        from .stats import matmul_histogram
+        bins, n, reps = 2048, 1 << 22, 64
+        rng = np.random.RandomState(0)
+        idx = jnp.asarray(rng.randint(0, bins, n).astype(np.int32))
+
+        h_pl = jax.device_get(histogram_pallas(idx, bins))
+        h_x = jax.device_get(jax.jit(lambda v: matmul_histogram(v, bins))(idx))
+        ok = bool((np.asarray(h_pl) == np.asarray(h_x)).all())
+        compile_s = time.time() - t0
+
+        def loop(hist_fn):
+            # vary the input per rep so XLA cannot hoist the pure call
+            def body(i, acc):
+                return acc + hist_fn((idx + i) % bins, bins)
+            return jax.lax.fori_loop(0, reps, body, jnp.zeros(bins, jnp.int32))
+
+        t_pl = t_x = 0.0
+        if ok:
+            f_pl = jax.jit(lambda: loop(histogram_pallas))
+            f_x = jax.jit(lambda: loop(matmul_histogram))
+            jax.block_until_ready(f_pl())
+            jax.block_until_ready(f_x())
+            t1 = time.time(); jax.block_until_ready(f_pl()); t_pl = time.time() - t1
+            t1 = time.time(); jax.block_until_ready(f_x()); t_x = time.time() - t1
+        dt = time.time() - t0
+        enabled = ok and compile_s <= BUDGET_S["pallas_hist"] and t_pl <= t_x * 1.1
+        record("pallas_hist", enabled, dt,
+               f"warm 64x{n >> 20}M-elem: pallas {t_pl:.3f}s vs xla {t_x:.3f}s"
+               if ok else "count mismatch vs matmul_histogram")
+        return enabled
+    except Exception as e:  # Mosaic compile failure, relay error, ...
+        record("pallas_hist", False, time.time() - t0, f"{type(e).__name__}: {e}"[:200])
         return False
 
 

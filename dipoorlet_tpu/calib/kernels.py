@@ -100,6 +100,73 @@ def octav_fits_vmem(shape) -> bool:
     return int(np.prod(shape)) <= OCTAV_VMEM_ELEMS
 
 
+# -- histogram ---------------------------------------------------------------
+# Chunk of 64 rows x 128 lanes = 8192 elements; the in-kernel one-hots are
+# (8192, hi_n) + (8192, lo_n) int8 = ~2MB of VMEM after lane padding.
+HIST_BLOCK_ROWS = 64
+
+
+def _hist_kernel(idx_ref, out_ref, *, hi_n, lo_n):
+    """One grid step: exact (hi_n, lo_n) count matrix of a chunk of bucket
+    indices, accumulated across the sequential grid into the VMEM-resident
+    output.  Negative indices (the padding sentinel) match no `hi` digit, so
+    their joint count is zero — padding needs no separate mask.
+
+    Same digit-split-as-matmul formulation as stats.matmul_histogram, but the
+    one-hot operands live only in VMEM: HBM traffic is one int32 read per
+    element instead of the ~(hi_n+lo_n) one-hot bytes/element the XLA path
+    materializes for the MXU."""
+    i = pl.program_id(0)
+    idx = idx_ref[...]
+    c = idx.shape[0] * idx.shape[1]
+    flat = idx.reshape(c, 1)
+    valid = flat >= 0
+    # keep the integer div/mod on non-negative operands only (floor-vs-trunc
+    # semantics of negative division never enter the picture)
+    hi = jnp.where(valid, flat // lo_n, -1)
+    lo = jnp.where(valid, flat % lo_n, 0)
+    hi_oh = (hi == jax.lax.broadcasted_iota(jnp.int32, (c, hi_n), 1)).astype(jnp.int8)
+    lo_oh = (lo == jax.lax.broadcasted_iota(jnp.int32, (c, lo_n), 1)).astype(jnp.int8)
+    part = jax.lax.dot_general(hi_oh, lo_oh, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[...] = part
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[...] = out_ref[...] + part
+
+
+@functools.partial(jax.jit, static_argnames=("bins",))
+def histogram_pallas(idx, bins: int):
+    """Exact histogram of int32 bucket indices in [0, bins); entries < 0 are
+    ignored (callers mark masked/padded elements with -1).  Drop-in for
+    stats.matmul_histogram with identical (bit-exact) counts."""
+    lo_n = min(128, bins)
+    hi_n = -(-bins // lo_n)
+    n = idx.shape[0]
+    blk = HIST_BLOCK_ROWS * LANE
+    nblk = max(1, -(-n // blk))
+    pad = nblk * blk - n
+    if pad:
+        idx = jnp.concatenate([idx, jnp.full((pad,), -1, jnp.int32)])
+    x2d = idx.reshape(nblk * HIST_BLOCK_ROWS, LANE)
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel, hi_n=hi_n, lo_n=lo_n),
+        grid=(nblk,),
+        in_specs=[pl.BlockSpec((HIST_BLOCK_ROWS, LANE), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((hi_n, lo_n), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hi_n, lo_n), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(x2d)
+    return out.reshape(-1)[:bins]
+
+
 def use_pallas() -> bool:
     try:
         return jax.default_backend() not in ("cpu",)

@@ -382,35 +382,72 @@ class StatsRunner:
         scales ride in the carry as a traced (T,) array, so a new range set
         (re-calibration after a weight transform, or the fused minmax→hist
         pass) never forces a recompile."""
+        from . import autotune, kernels
         names = self.tensor_names
         kind = f"hist{bins}"
         if kind not in self._fns:
-            def fused_hist(params_, inputs, scales):
+            # the Pallas kernel does its own on-chip masking/accumulation and
+            # runs un-vmapped over the whole batch; SPMD sharded batches stay
+            # on the XLA formulation (pallas_call is not shard_map-aware here).
+            # An explicit DIPOORLET_TPU_PALLAS_HIST=1|0 wins outright (so CPU
+            # tests can exercise the kernel under interpret mode); otherwise
+            # the probe decides on non-CPU backends.
+            decided = autotune.cached_decision("pallas_hist")
+            if decided is None:
+                decided = kernels.use_pallas() and autotune.pallas_hist_enabled()
+            use_pl = decided and (self.mesh is None or self.mesh.size == 1)
+
+            def binned_idx(params_, inputs, scales):
                 _, taps = self.ex.forward(params_, inputs, taps=names, outputs=())
-                hists = []
+                out = []
                 for i, n in enumerate(names):
                     absx = jnp.abs(taps[n].astype(jnp.float32).ravel())
-                    idx = jnp.clip((absx * scales[i]).astype(jnp.int32), 0, bins - 1)
-                    hists.append(matmul_histogram(idx, bins))
-                return jnp.concatenate(hists)
+                    out.append(jnp.clip((absx * scales[i]).astype(jnp.int32),
+                                        0, bins - 1))
+                return out
 
-            vm = jax.vmap(fused_hist, in_axes=(None, 0, None))
             n_names = len(names)
 
-            def step_raw(params_, batch, valid, carry):
-                # TPU jit has no int64, so the cross-batch accumulator is a
-                # (hi, lo) int32 pair: multiples of 2^16 fold into `hi` every
-                # step, giving 2^47 exact counts per bin (a single int32 bin
-                # saturates at ~2.1e9 — a 150K-element tensor over ~14K
-                # samples).  Requires per-BATCH counts < 2^31, which any
-                # practical (batch_size x tensor) satisfies.
-                acc_hi, acc_lo, scales = carry
-                per_sample = vm(params_, batch, scales)  # (B, T*bins)
-                update = jnp.sum(per_sample * valid[:, None].astype(per_sample.dtype),
-                                 axis=0)
-                acc = acc_lo + update.reshape(n_names, bins)
-                hi_inc = acc >> 16
-                return (acc_hi + hi_inc, acc - (hi_inc << 16), scales)
+            if use_pl:
+                vm_idx = jax.vmap(binned_idx, in_axes=(None, 0, None))
+
+                def step_raw(params_, batch, valid, carry):
+                    # one VMEM-resident kernel per tensor over the flattened
+                    # (batch x elems) indices; padded samples are marked -1
+                    # which the kernel counts nowhere (calib/kernels.py)
+                    acc_hi, acc_lo, scales = carry
+                    idxs = vm_idx(params_, batch, scales)  # [(B, n_i), ...]
+                    vmask = valid[:, None] > 0
+                    update = jnp.stack([
+                        kernels.histogram_pallas(
+                            jnp.where(vmask, ix, -1).ravel(), bins)
+                        for ix in idxs])
+                    acc = acc_lo + update
+                    hi_inc = acc >> 16
+                    return (acc_hi + hi_inc, acc - (hi_inc << 16), scales)
+            else:
+                def fused_hist(params_, inputs, scales):
+                    return jnp.concatenate(
+                        [matmul_histogram(ix, bins)
+                         for ix in binned_idx(params_, inputs, scales)])
+
+                vm = jax.vmap(fused_hist, in_axes=(None, 0, None))
+
+                def step_raw(params_, batch, valid, carry):
+                    # TPU jit has no int64, so the cross-batch accumulator is
+                    # a (hi, lo) int32 pair: multiples of 2^16 fold into `hi`
+                    # every step, giving 2^47 exact counts per bin (a single
+                    # int32 bin saturates at ~2.1e9 — a 150K-element tensor
+                    # over ~14K samples).  Requires per-BATCH counts < 2^31,
+                    # which any practical (batch_size x tensor) satisfies.
+                    acc_hi, acc_lo, scales = carry
+                    per_sample = vm(params_, batch, scales)  # (B, T*bins)
+                    update = jnp.sum(
+                        per_sample * valid[:, None].astype(per_sample.dtype),
+                        axis=0)
+                    acc = acc_lo + update.reshape(n_names, bins)
+                    hi_inc = acc >> 16
+                    return (acc_hi + hi_inc, acc - (hi_inc << 16), scales)
 
             self._fns[kind] = (jax.jit(step_raw), step_raw)
         return kind
