@@ -195,8 +195,17 @@ def measure_ours(extra):
     t0 = time.time()
     runner.run_hist(params, dataset, mm, BINS, batch_size=BATCH)
     extra["hist_pass_s"] = round(time.time() - t0, 3)
+    # OCTAV/mse pass (the -A mse algorithm): compile once, time warm
+    runner.run_octav(params, dataset, False, batch_size=BATCH)
+    t0 = time.time()
+    runner.run_octav(params, dataset, False, batch_size=BATCH)
+    extra["mse_pass_s"] = round(time.time() - t0, 3)
     extra["fused_pass_s"] = round(t_fused, 3)
     extra.update(roofline(g, t_fused))
+    from dipoorlet_tpu.calib import autotune
+    extra["fast_paths"] = {
+        f: bool(autotune.cached_decision(f))
+        for f in ("scan_calib", "pallas_octav", "pallas_hist")}
     log(f"breakdown: minmax {extra['minmax_pass_s']}s, hist {extra['hist_pass_s']}s, "
         f"roofline {extra}")
     return N_SAMPLES / t_fused

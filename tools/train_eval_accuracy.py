@@ -45,13 +45,19 @@ CONFIGS = [
 
 
 class TextureShapes:
-    """Deterministic procedural labeled images, tuned NOT to saturate.
+    """Deterministic procedural labeled images with a built-in error floor.
 
-    All classes share one background texture; the class signal is a weak
-    oriented grating whose orientations are only pi/N apart, under heavy
-    pixel noise and random gain.  A fully-trained ResNet-18 plateaus
-    around ~90% held-out top-1, leaving headroom for quantization error
-    to show up as a real top-1 drop."""
+    The class signal is an oriented grating (orientations pi/N apart)
+    under pixel noise, shared background texture, and random gain.  Each
+    sample's orientation is jittered by N(0, ORI_JITTER) class-widths, so
+    a fraction of samples genuinely lies closer to a neighboring class:
+    the Bayes error is ~2*(1-Phi(0.5/ORI_JITTER)) ≈ 13%, which pins the
+    FP32 plateau near ~85-88% top-1 regardless of training budget.  That
+    head-room is the point — quantization error perturbs the decision
+    boundary and shows up as a true held-out top-1 drop, instead of
+    vanishing against a saturated task."""
+
+    ORI_JITTER = 0.33  # class-widths of sigma; floor ≈ 2(1-Φ(.5/.33)) ≈ 13%
 
     def __init__(self, size=64, seed=0, noise=1.3, mix=0.45):
         self.size = size
@@ -61,18 +67,24 @@ class TextureShapes:
         low = rng.randn(3, 8, 8).astype(np.float32)
         self.texture = np.kron(low, np.ones((size // 8, size // 8), np.float32))
         yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-        self.protos = []
-        for c in range(N_CLASSES):
-            theta = np.pi * c / N_CLASSES
-            freq = 5.0 + (c % 2)  # neighboring classes also differ in freq
-            grating = np.sin(2 * np.pi * freq * (np.cos(theta) * xx + np.sin(theta) * yy))
-            self.protos.append(grating[None].astype(np.float32))
+        self._grid = (xx, yy)
+
+    def _grating(self, c, jitter, freq):
+        xx, yy = self._grid
+        theta = np.pi * (c + jitter) / N_CLASSES
+        # freq is class-INDEPENDENT: orientation must be the only class
+        # signal, or boundary samples could be disambiguated by frequency
+        # and the designed Bayes floor would vanish.
+        g = np.sin(2 * np.pi * freq * (np.cos(theta) * xx + np.sin(theta) * yy))
+        return g[None].astype(np.float32)
 
     def batch(self, rng, n):
         xs = np.empty((n, 3, self.size, self.size), np.float32)
         ys = rng.randint(0, N_CLASSES, size=n)
         for i, c in enumerate(ys):
-            p = self.mix * self.protos[c] + 0.3 * self.texture
+            freq = 5.0 + 1.5 * rng.rand()
+            p = self.mix * self._grating(c, self.ORI_JITTER * rng.randn(), freq) \
+                + 0.3 * self.texture
             p = np.roll(p, (rng.randint(self.size), rng.randint(self.size)), axis=(1, 2))
             gain = 0.6 + 0.8 * rng.rand()
             x = gain * p + self.noise * rng.randn(*p.shape).astype(np.float32)
@@ -120,7 +132,8 @@ def eval_top1_onnx(model_path, xs, ys, batch=50):
     fn = ex.make_batched(outputs=[g.network_outputs[0]])
     correct = 0
     for i in range(0, len(xs), batch):
-        out, _ = fn(params, {"input": xs[i:i + batch]})
+        # make_batched expects (B, *declared_shape) = (B, 1, 3, H, W)
+        out, _ = fn(params, {"input": xs[i:i + batch, None]})
         pred = np.asarray(jax.device_get(out[g.network_outputs[0]]))
         pred = pred.reshape(pred.shape[0], -1).argmax(1)
         correct += int((pred == ys[i:i + batch]).sum())
@@ -213,6 +226,10 @@ def main():
         rows.append({"config": name, "top1": q_top1, "delta": delta,
                      "pipeline_s": round(wall, 1)})
         log(f"{name}: top-1 {q_top1:.4f} (Δ {delta:+.4f}) in {wall:.0f}s")
+        # incremental dump: a multi-config run over the remote TPU can take
+        # tens of minutes — never lose completed rows to a late failure
+        with open(os.path.join(ws, "rows_partial.json"), "w") as f:
+            json.dump({"fp32_top1": fp_top1, "rows": rows}, f, indent=2)
 
     result = {
         "model": args.model, "size": args.size, "train_steps": args.steps,
