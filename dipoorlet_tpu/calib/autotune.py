@@ -115,6 +115,15 @@ def pallas_octav_enabled() -> bool:
         s_x, lo_x, hi_x = jax.device_get(jax.jit(lambda v: ref_fn("probe", v))(x))
         ok = (abs(float(s_pl) - float(s_x)) <= 1e-4 * max(1.0, abs(float(s_x)))
               and float(lo_pl) == float(lo_x) and float(hi_pl) == float(hi_x))
+        # production calls the kernel inside the vmapped stats forward — the
+        # batched lowering must also compile and agree (a standalone-only
+        # probe once green-lit a kernel whose SMEM output could not batch)
+        if ok:
+            xb = jnp.stack([x, x * 0.5 + 0.1])
+            sb, lob, hib = jax.device_get(
+                jax.jit(jax.vmap(lambda v: octav_pallas(v, False)))(xb))
+            ok = (abs(float(sb[0]) - float(s_x)) <= 1e-4 * max(1.0, abs(float(s_x)))
+                  and float(lob[0]) == float(lo_x) and float(hib[0]) == float(hi_x))
         dt = time.time() - t0
         enabled = ok and dt <= BUDGET_S["pallas_octav"]
         record("pallas_octav", enabled, dt,

@@ -23,13 +23,18 @@ LANE = 128
 OCTAV_VMEM_ELEMS = 2 * 1024 * 1024  # 8MB of f32
 
 
-def _octav_kernel(n_ref, x_ref, out_ref, *, n_pad, dynamic_sym):
-    """x_ref: (R, 128) f32 (zero-padded); n_ref[0]: valid element count.
-    out_ref: SMEM (3,) -> (optimal_s, data_min, data_max)."""
+def _octav_kernel(x_ref, out_ref, *, n_valid, dynamic_sym):
+    """x_ref: (R, 128) f32 (zero-padded); n_valid: static count of real
+    elements (the tensor shape is known at trace time, so it needs no SMEM
+    operand).  out_ref: VMEM (8, 128) f32 tile carrying
+    (optimal_s, data_min, data_max) in lanes 0..2 — a full vector tile
+    rather than SMEM scalars so `jax.vmap` of the pallas_call (the batched
+    stats forward) lowers cleanly: the batch dim becomes a squeezed grid
+    dim and every remaining block dim equals the array dim."""
     x = x_ref[...]
-    n_valid = n_ref[0]
     total = x.size
     rows = x.shape[0]
+    n_valid = jnp.int32(n_valid)
     flat_idx = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
                 + jax.lax.broadcasted_iota(jnp.int32, (rows, LANE), 1))
     valid = flat_idx < n_valid
@@ -65,10 +70,14 @@ def _octav_kernel(n_ref, x_ref, out_ref, *, n_pad, dynamic_sym):
         return s_next, s, it + 1
 
     s_fin, _, _ = jax.lax.while_loop(cond, body, (s0, s0 + 1.0, jnp.int32(0)))
-    # scalar stores are SMEM-only on TPU (Mosaic rejects scalar VMEM stores)
-    out_ref[0] = s_fin
-    out_ref[1] = data_min
-    out_ref[2] = data_max
+    # write a full (8, 128) tile (scalar VMEM stores are rejected by Mosaic;
+    # SMEM outputs don't batch under vmap): lanes 0/1/2 of every row carry
+    # the three results
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 1)
+    out_ref[...] = jnp.where(
+        lane == 0, s_fin,
+        jnp.where(lane == 1, data_min,
+                  jnp.where(lane == 2, data_max, 0.0)))
 
 
 @functools.partial(jax.jit, static_argnames=("dynamic_sym",))
@@ -83,17 +92,13 @@ def octav_pallas(x, dynamic_sym: bool = False):
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros((pad,), jnp.float32)])
     x2d = flat.reshape(rows, LANE)
-    n_arr = jnp.asarray([n], dtype=jnp.int32)
     out = pl.pallas_call(
-        functools.partial(_octav_kernel, n_pad=pad, dynamic_sym=dynamic_sym),
-        out_shape=jax.ShapeDtypeStruct((3,), jnp.float32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-    )(n_arr, x2d)
-    return out[0], out[1], out[2]
+        functools.partial(_octav_kernel, n_valid=n, dynamic_sym=dynamic_sym),
+        out_shape=jax.ShapeDtypeStruct((8, LANE), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(x2d)
+    return out[0, 0], out[0, 1], out[0, 2]
 
 
 def octav_fits_vmem(shape) -> bool:

@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.join(ROOT, "tools"))
 N_CLASSES = 20
 
 CONFIGS = [
-    ("int8 minmax", []),
+    ("int8 minmax", ["-A", "minmax"]),  # CLI default is mse (reference parity)
     ("int8 hist", ["-A", "hist"]),
     ("int8 mse (OCTAV)", ["-A", "mse"]),
     ("w4a8 naive", ["--w_bit", "4"]),
@@ -242,7 +242,34 @@ def main():
     os.makedirs(os.path.join(ROOT, "docs"), exist_ok=True)
     with open(os.path.join(ROOT, "docs", f"accuracy_{args.model}.json"), "w") as f:
         json.dump(result, f, indent=2)
+    write_markdown(result)
     print(json.dumps(result))
+
+
+def write_markdown(result, out=None):
+    """Append a measured Δ-top-1 table to docs/ACCURACY.md."""
+    out = out or os.path.join(ROOT, "docs", "ACCURACY.md")
+    lines = []
+    if not os.path.exists(out):
+        lines += ["# Measured accuracy through the production pipeline\n",
+                  "Held-out top-1 of really-trained networks, quantized via the",
+                  "full CLI (`tools/train_eval_accuracy.py`).  The data",
+                  "distribution is procedural (no ImageNet in-container; see the",
+                  "tool docstring) with a designed ~13% Bayes floor, so FP32 is",
+                  "not saturated and quantization error surfaces as a true",
+                  "top-1 drop — the measurable analogue of the paper bands in",
+                  "BASELINE.md.\n"]
+    lines += [f"\n## {result['model']} @{result['size']} "
+              f"(FP32 top-1 {result['fp32_top1']:.4f}, "
+              f"{result['n_test']} test / {result['n_calib']} calib samples, "
+              f"recon epochs {result['recon_epochs']})\n",
+              "| Config | top-1 | Δ vs FP32 | pipeline s |",
+              "|---|---|---|---|"]
+    for r in result["rows"]:
+        lines.append(f"| {r['config']} | {r['top1']:.4f} | "
+                     f"{r['delta']:+.4f} | {r['pipeline_s']} |")
+    with open(out, "a") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
