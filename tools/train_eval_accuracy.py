@@ -41,6 +41,11 @@ CONFIGS = [
     ("w4a8 AdaRound", ["--w_bit", "4", "--adaround"]),
     ("w4a4 naive", ["--w_bit", "4", "--a_bit", "4"]),
     ("w4a4 BRECQ+QDrop", ["--w_bit", "4", "--a_bit", "4", "--brecq", "--drop"]),
+    # the W2A4 regime is where PTQ visibly breaks without reconstruction
+    # (QDrop paper: 64.7% vs FP 71% even WITH reconstruction) — included to
+    # show the task detects quantization damage and reconstruction recovers it
+    ("w2a4 naive", ["--w_bit", "2", "--a_bit", "4"]),
+    ("w2a4 BRECQ+QDrop", ["--w_bit", "2", "--a_bit", "4", "--brecq", "--drop"]),
 ]
 
 
