@@ -66,6 +66,10 @@ def build_parser():
                         type=int, default=None)
     parser.add_argument("--a_bit", help="Override platform activation bit width (e.g. 4).",
                         type=int, default=None)
+    parser.add_argument("--seed", help="Deterministic seed offset for reconstruction "
+                        "RNG (per-layer keys are stable crc32(name)+seed; identical "
+                        "runs produce byte-identical artifacts).",
+                        type=int, default=0)
     parser.add_argument("--bf16_calib", help="Run calibration forwards in bfloat16 "
                         "(2x HBM bandwidth; ranges differ by bf16 rounding).",
                         action="store_true")

@@ -13,14 +13,16 @@ import numpy as np
 from ..quant.platform import LAYER_HAS_WEIGHT, platform_setting_table
 from ..runtime.data import CalibDataset
 from ..runtime.executor import Executor
-from ..utils.dispatch import dispatch_functool
+from ..utils.dispatch import Registry
 from ..utils.logging import logger
 from .stats import StatsRunner
 
 
-@dispatch_functool
-def tensor_cali_dispatcher(*args, **kwargs):
+def _unknown_algorithm(*args, **kwargs):
     raise ValueError("Calibration Algorithm Not Found!")
+
+
+tensor_cali_dispatcher = Registry("act-calibration", missing=_unknown_algorithm)
 
 
 def _shard_bounds(args):
@@ -48,7 +50,7 @@ def _runner(graph, args):
     return runner, params, dataset
 
 
-@tensor_cali_dispatcher.register("minmax")
+@tensor_cali_dispatcher.add("minmax")
 def find_clip_val_minmax(graph, args, **kwargs):
     runner, params, dataset = _runner(graph, args)
     st, ed = _shard_bounds(args)
@@ -56,7 +58,7 @@ def find_clip_val_minmax(graph, args, **kwargs):
     return {name: [np.float64(v["min"]), np.float64(v["max"])] for name, v in stats.items()}
 
 
-@tensor_cali_dispatcher.register("hist")
+@tensor_cali_dispatcher.add("hist")
 def find_clip_val_hist(graph, args, store_stats=None, **kwargs):
     bins = int(args.bins)
     st, ed = _shard_bounds(args)
@@ -86,19 +88,32 @@ def find_clip_val_hist(graph, args, store_stats=None, **kwargs):
     return clip_val
 
 
-@tensor_cali_dispatcher.register("kl")
+@tensor_cali_dispatcher.add("kl")
 def find_clip_val_kl(graph, args, **kwargs):
-    """TensorRT-style entropy calibration over the on-device histograms."""
+    """TensorRT-style entropy calibration over the on-device histograms.
+
+    The target quantization grid follows the *effective* activation bit
+    width (--a_bit override included): 2^(b-1) levels for the symmetric
+    positive half of the |x| histogram — int8 optimizes 128 levels, int4
+    optimizes 8 (TRT entropy-method semantics)."""
+    from ..quant.platform import effective_setting
     from .kl import find_clip_val_kl_from_hists
     bins = int(args.bins)
+    a_bit = int(effective_setting(args)["qi_params"]["bit_width"])
+    target_levels = max(2, 2 ** (a_bit - 1))
+    if target_levels >= bins:
+        raise ValueError(
+            f"KL calibration needs bins > 2^(a_bit-1) levels "
+            f"(bins={bins}, a_bit={a_bit}); raise --bins")
     st, ed = _shard_bounds(args)
     runner, params, dataset = _runner(graph, args)
     stats_min_max, hists = runner.run_minmax_hist(
         params, dataset, bins, batch_size=args.batch_size, start=st, end=ed)
-    return find_clip_val_kl_from_hists(hists, stats_min_max, bins)
+    return find_clip_val_kl_from_hists(hists, stats_min_max, bins,
+                                       target_levels=target_levels)
 
 
-@tensor_cali_dispatcher.register("mse")
+@tensor_cali_dispatcher.add("mse")
 def find_clip_val_octav(graph, args, **kwargs):
     runner, params, dataset = _runner(graph, args)
     st, ed = _shard_bounds(args)

@@ -40,9 +40,10 @@ def _cache_path() -> str:
     return os.path.join(tempfile.gettempdir(), f"dipoorlet_tpu_autotune_{uid}.json")
 
 
-def _key(feature: str) -> str:
+def _key(feature: str, subkey: str = "") -> str:
     import jax
-    return f"{feature}:{jax.default_backend()}:{jax.__version__}"
+    tag = f"{feature}[{subkey}]" if subkey else feature
+    return f"{tag}:{jax.default_backend()}:{jax.__version__}"
 
 
 def _load() -> dict:
@@ -66,13 +67,16 @@ def _store(key: str, enabled: bool, seconds: float, note: str = ""):
         pass  # cache is an optimization; never fail the pipeline over it
 
 
-def cached_decision(feature: str):
+def cached_decision(feature: str, subkey: str = ""):
     """Returns True/False if decided (env override or cached probe),
-    None if the feature still needs probing."""
+    None if the feature still needs probing.  `subkey` scopes decisions
+    that depend on a shape parameter (e.g. the histogram bin count — a
+    kernel green-lit at one bin count is a different Mosaic shape regime
+    at another)."""
     env = os.environ.get(_ENV_VARS[feature])
     if env is not None:
         return env == "1"
-    key = _key(feature)
+    key = _key(feature, subkey)
     if key in _mem_cache:
         return _mem_cache[key]
     rec = _load().get(key)
@@ -82,10 +86,11 @@ def cached_decision(feature: str):
     return None
 
 
-def record(feature: str, enabled: bool, seconds: float, note: str = ""):
+def record(feature: str, enabled: bool, seconds: float, note: str = "",
+           subkey: str = ""):
     """Record a probe outcome observed in situ (used by the scan path,
     whose first real compile IS the probe)."""
-    _store(_key(feature), enabled, seconds, note)
+    _store(_key(feature, subkey), enabled, seconds, note)
 
 
 def pallas_octav_enabled() -> bool:
@@ -122,8 +127,14 @@ def pallas_octav_enabled() -> bool:
             xb = jnp.stack([x, x * 0.5 + 0.1])
             sb, lob, hib = jax.device_get(
                 jax.jit(jax.vmap(lambda v: octav_pallas(v, False)))(xb))
+            s2, lo2, hi2 = jax.device_get(
+                jax.jit(lambda v: ref_fn("probe", v))(x * 0.5 + 0.1))
+            # check EVERY batch element — a batched-lowering bug that only
+            # corrupts non-leading elements must not pass the probe
             ok = (abs(float(sb[0]) - float(s_x)) <= 1e-4 * max(1.0, abs(float(s_x)))
-                  and float(lob[0]) == float(lo_x) and float(hib[0]) == float(hi_x))
+                  and float(lob[0]) == float(lo_x) and float(hib[0]) == float(hi_x)
+                  and abs(float(sb[1]) - float(s2)) <= 1e-4 * max(1.0, abs(float(s2)))
+                  and float(lob[1]) == float(lo2) and float(hib[1]) == float(hi2))
         dt = time.time() - t0
         enabled = ok and dt <= BUDGET_S["pallas_octav"]
         record("pallas_octav", enabled, dt,
@@ -134,19 +145,23 @@ def pallas_octav_enabled() -> bool:
         return False
 
 
-def pallas_hist_enabled() -> bool:
+def pallas_hist_enabled(bins: int = 2048) -> bool:
     """Probe-once gate for the Pallas VMEM-resident histogram kernel.
 
     The probe checks bit-exact counts vs the XLA matmul-histogram AND races
     the two paths warm (64 reps folded inside one dispatch so remote-relay
     latency cancels); the kernel is enabled only when it is correct, within
-    the compile budget, and not slower than the XLA path it replaces."""
-    decided = cached_decision("pallas_hist")
+    the compile budget, and strictly not slower than the XLA path it
+    replaces.  The decision is cached PER BIN COUNT — each bin count is a
+    different Mosaic shape regime, and a kernel green-lit at 2048 bins may
+    not even compile at another."""
+    subkey = str(bins)
+    decided = cached_decision("pallas_hist", subkey)
     if decided is not None:
         return decided
     import jax
     if jax.default_backend() == "cpu":
-        record("pallas_hist", False, 0.0, "cpu backend")
+        record("pallas_hist", False, 0.0, "cpu backend", subkey=subkey)
         return False
     t0 = time.time()
     try:
@@ -154,7 +169,7 @@ def pallas_hist_enabled() -> bool:
         import jax.numpy as jnp
         from .kernels import histogram_pallas
         from .stats import matmul_histogram
-        bins, n, reps = 2048, 1 << 22, 64
+        n, reps = 1 << 22, 64
         rng = np.random.RandomState(0)
         idx = jnp.asarray(rng.randint(0, bins, n).astype(np.int32))
 
@@ -178,13 +193,15 @@ def pallas_hist_enabled() -> bool:
             t1 = time.time(); jax.block_until_ready(f_pl()); t_pl = time.time() - t1
             t1 = time.time(); jax.block_until_ready(f_x()); t_x = time.time() - t1
         dt = time.time() - t0
-        enabled = ok and compile_s <= BUDGET_S["pallas_hist"] and t_pl <= t_x * 1.1
+        enabled = ok and compile_s <= BUDGET_S["pallas_hist"] and t_pl <= t_x
         record("pallas_hist", enabled, dt,
-               f"warm 64x{n >> 20}M-elem: pallas {t_pl:.3f}s vs xla {t_x:.3f}s"
-               if ok else "count mismatch vs matmul_histogram")
+               f"warm 64x{n >> 20}M-elem @ {bins} bins: pallas {t_pl:.3f}s "
+               f"vs xla {t_x:.3f}s"
+               if ok else "count mismatch vs matmul_histogram", subkey=subkey)
         return enabled
     except Exception as e:  # Mosaic compile failure, relay error, ...
-        record("pallas_hist", False, time.time() - t0, f"{type(e).__name__}: {e}"[:200])
+        record("pallas_hist", False, time.time() - t0,
+               f"{type(e).__name__}: {e}"[:200], subkey=subkey)
         return False
 
 

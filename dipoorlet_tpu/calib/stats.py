@@ -392,9 +392,9 @@ class StatsRunner:
             # An explicit DIPOORLET_TPU_PALLAS_HIST=1|0 wins outright (so CPU
             # tests can exercise the kernel under interpret mode); otherwise
             # the probe decides on non-CPU backends.
-            decided = autotune.cached_decision("pallas_hist")
+            decided = autotune.cached_decision("pallas_hist", str(bins))
             if decided is None:
-                decided = kernels.use_pallas() and autotune.pallas_hist_enabled()
+                decided = kernels.use_pallas() and autotune.pallas_hist_enabled(bins)
             use_pl = decided and (self.mesh is None or self.mesh.size == 1)
 
             def binned_idx(params_, inputs, scales):

@@ -4,13 +4,15 @@ Format parity with /root/reference/dipoorlet/deploy/*.py — downstream
 toolchains parse these files, so key names and value conventions match
 byte-for-byte where practical."""
 from ..quant.platform import platform_setting_table
-from ..utils.dispatch import dispatch_functool
+from ..utils.dispatch import Registry
 from ..utils.logging import logger
 
 
-@dispatch_functool
-def deploy_dispatcher(*args, **kwargs):
+def _unknown_platform(*args, **kwargs):
     logger.warning("Deploy Platform Not Found!")
+
+
+deploy_dispatcher = Registry("deploy-emitter", missing=_unknown_platform)
 
 
 def to_deploy(graph, act_clip_val, weight_clip_val, args, **kwargs):

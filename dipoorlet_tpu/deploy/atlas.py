@@ -19,7 +19,7 @@ def _u8_affine(clip):
     return {"scale": step, "offset": round(-lo / step) - 128}
 
 
-@deploy_dispatcher.register("atlas")
+@deploy_dispatcher.add("atlas")
 def gen_atlas_quant_param(graph, clip_val, args, **kwargs):
     inputs_to_quant = (n.input[0] for n in graph.graph.node
                        if n.op_type in ATLAS_QUANT_LAYER)

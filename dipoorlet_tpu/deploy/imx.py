@@ -7,7 +7,7 @@ import numpy as np
 from . import deploy_dispatcher
 
 
-@deploy_dispatcher.register("imx")
+@deploy_dispatcher.add("imx")
 def gen_imx_range(graph, clip_val, args, **kwargs):
     bit_width = 8
     scales = {}

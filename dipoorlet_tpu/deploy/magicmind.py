@@ -7,7 +7,7 @@ import numpy as np
 from . import deploy_dispatcher
 
 
-@deploy_dispatcher.register("magicmind")
+@deploy_dispatcher.add("magicmind")
 def gen_magicmind_proto(graph, clip_val, args, **kwargs):
     param = {}
     for k, v in clip_val.items():

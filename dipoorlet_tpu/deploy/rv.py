@@ -161,7 +161,7 @@ def _gen3568(graph, clip_val, args):
         json.dump(res, f, indent=4)
 
 
-@deploy_dispatcher.register("rv")
+@deploy_dispatcher.add("rv")
 def gen_rv_yaml(graph, clip_val, args, **kwargs):
     _gen1126(graph, clip_val, args)
     _gen3568(graph, clip_val, args)

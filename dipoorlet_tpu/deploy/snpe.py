@@ -15,7 +15,7 @@ def _encoding(clip):
     }]
 
 
-@deploy_dispatcher.register("snpe")
+@deploy_dispatcher.add("snpe")
 def gen_snpe_encodings(graph, clip_val, args, **kwargs):
     activation_encodings = {}
     for node in graph.graph.node:

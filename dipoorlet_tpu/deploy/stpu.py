@@ -128,7 +128,7 @@ def _quant_bias(graph, param):
             param[node.name + "_bias"] = {"alpha": walpha * ialpha, "zero_point": 0}
 
 
-@deploy_dispatcher.register("stpu")
+@deploy_dispatcher.add("stpu")
 def gen_stpu_minmax(graph, clip_val, args, **kwargs):
     param = {}
     _quant_weight(clip_val, graph, param)

@@ -7,7 +7,7 @@ import numpy as np
 from . import deploy_dispatcher
 
 
-@deploy_dispatcher.register("ti")
+@deploy_dispatcher.add("ti")
 def gen_ti_json(graph, clip_val, args, **kwargs):
     with open(os.path.join(args.output_dir, "ti_blob_range.txt"), "w") as f:
         for k, v in clip_val.items():

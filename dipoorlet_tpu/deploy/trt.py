@@ -7,7 +7,7 @@ import numpy as np
 from . import deploy_dispatcher
 
 
-@deploy_dispatcher.register("trt")
+@deploy_dispatcher.add("trt")
 def gen_trt_range(graph, clip_val, args, **kwargs):
     out = {}
     for k, v in clip_val.items():

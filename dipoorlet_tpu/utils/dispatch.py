@@ -1,22 +1,45 @@
-"""Value-dispatch decorator (parity with reference utils.py:281-303)."""
+"""Keyed function tables for the calibration-algorithm and deploy-emitter
+registries (the role of the reference's decorator util, utils.py:281-303,
+rebuilt as a plain mapping type)."""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
 
 
-def dispatch_functool(func):
-    registry = {}
+class Registry:
+    """A name -> handler table invoked as ``registry(key, *args, **kw)``.
 
-    def dispatch(value):
-        return registry.get(value, func)
+    Unknown keys route to the ``missing`` handler (which may raise, warn,
+    or provide a generic implementation).  Handlers attach via the
+    ``add`` decorator::
 
-    def register(value, fn=None):
+        emitters = Registry("deploy", missing=warn_unknown)
+
+        @emitters.add("trt")
+        def emit_trt(graph, ranges, args): ...
+    """
+
+    def __init__(self, name: str, missing: Optional[Callable] = None):
+        self.name = name
+        self.missing = missing
+        self.table: Dict[str, Callable] = {}
+
+    def add(self, key: str):
+        def deco(fn: Callable) -> Callable:
+            self.table[key] = fn
+            return fn
+        return deco
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.table
+
+    def keys(self):
+        return self.table.keys()
+
+    def __call__(self, key: str, *args, **kwargs):
+        fn = self.table.get(key)
         if fn is None:
-            return lambda f: register(value, f)
-        registry[value] = fn
-        return fn
-
-    def wrapper(*args, **kwargs):
-        return dispatch(args[0])(*args[1:], **kwargs)
-
-    wrapper.register = register
-    wrapper.dispatch = dispatch
-    wrapper.registry = registry
-    return wrapper
+            if self.missing is None:
+                raise KeyError(f"{self.name}: no handler for {key!r}")
+            return self.missing(*args, **kwargs)
+        return fn(*args, **kwargs)

@@ -15,7 +15,7 @@ from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu,
                      mesh_sharding, quantized_input_name, shard_bounds,
-                     weight_qparams_for_node)
+                     stable_seed, weight_qparams_for_node)
 from .reconstruct import LayerSpec, hard_round_weight, learn_block, node_signature
 from .weight_equalization import node_has_equalized
 
@@ -65,7 +65,7 @@ def adaround(graph_ori, graph, act_clip_val, weight_clip_val, args):
         total_iter = int(args.ada_epoch * math.ceil(num_per_rank / args.ada_bs))
         masks = learn_block([spec], q_in, fp_out, args.ada_bs, args.ada_epoch,
                             total_iter, acti_quant=False, drop=False,
-                            seed=abs(hash(node.name)) % (2 ** 31),
+                            seed=stable_seed(node.name, args),
                             data_sharding=mesh_sharding(args))
         new_weight = hard_round_weight(spec, masks[0])
         graph_ada.set_initializer(node.input[1], new_weight)

@@ -16,7 +16,7 @@ from ..utils.logging import logger
 from .adaround import _build_layer_spec
 from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider,
                      acti_qparams_for_node, follow_relu, get_block_from_first,
-                     mesh_sharding, quantized_input_name, shard_bounds)
+                     mesh_sharding, quantized_input_name, shard_bounds, stable_seed)
 from .reconstruct import hard_round_weight, learn_block
 from .weight_equalization import node_has_equalized
 
@@ -68,7 +68,7 @@ def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
         masks = learn_block(specs, q_in, fp_out, args.ada_bs, max_epoch, total_iter,
                             acti_quant=bool(getattr(args, "acti_quant", args.drop)),
                             drop=bool(args.drop), fp_in=fp_in,
-                            seed=abs(hash(block[0].name)) % (2 ** 31),
+                            seed=stable_seed(block[0].name, args),
                             data_sharding=mesh_sharding(args))
 
         for spec, mask, _node in zip(specs, masks, block):

@@ -27,6 +27,19 @@ from ..runtime.executor import Executor
 LEARNABLE_LAYER_TYPES = ["Conv", "Gemm", "ConvTranspose"]
 
 
+def stable_seed(name: str, args) -> int:
+    """Process-independent deterministic seed for a layer's reconstruction
+    RNG (reference determinism contract, weight_trans_base.py:16-18).
+
+    zlib.crc32 is stable across runs and processes — unlike ``hash()``,
+    which PYTHONHASHSEED randomizes per interpreter — so every rank derives
+    the same PRNG key for the same layer and two identical CLI runs produce
+    byte-identical artifacts.  ``--seed`` offsets the whole run."""
+    import zlib
+    base = zlib.crc32(name.encode("utf-8"))
+    return (base + (getattr(args, "seed", 0) or 0) * 0x9E3779B9) % (2 ** 31)
+
+
 def follow_relu(graph: GraphIR, node) -> bool:
     nxt = graph.get_tensor_consumer(node.output[0])
     return len(nxt) == 1 and not isinstance(nxt[0], str) and nxt[0].op_type == "Relu"

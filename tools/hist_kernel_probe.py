@@ -1,7 +1,11 @@
 """TPU experiment: race Pallas histogram formulations vs the XLA matmul path.
 
-Variant A (calib/kernels.py histogram_pallas): 2D (R,128) blocks, in-kernel
-reshape to a (c,1) column, one-hots (c, hi_n)/(c, lo_n), dot over sublanes.
+Variant A = whatever calib/kernels.py histogram_pallas currently ships —
+since commit 170271d that IS the lane-major transposed-one-hot
+formulation, so A and B race the same algorithm and this tool now serves
+as an independent timing check of the production kernel (the original
+(c,1) column-reshape formulation was dropped after remote Mosaic rejected
+it; see kernels.py history).
 Variant B: 1D blocks, transposed one-hots (hi_n, c)/(lo_n, c) built from a
 lane-major flat vector, dot over the lane dim — no column reshape (the op
 most likely to upset Mosaic's layout assignment).
