@@ -136,6 +136,12 @@ def main(argv=None):
             v = getattr(args, attr)
             if v % n_chips:
                 setattr(args, attr, -(-v // n_chips) * n_chips)
+    if world_size > 1:
+        # reconstruction splits the GLOBAL minibatch across processes (and
+        # each process's slice across its chips): keep it divisible
+        m = world_size * (mesh.devices.size if mesh is not None else 1)
+        if args.ada_bs % m:
+            args.ada_bs = -(-args.ada_bs // m) * m
     if mesh is not None and rank == 0:
         print(f"dipoorlet_tpu: data-parallel over {mesh.devices.size} local devices "
               f"(batch_size={args.batch_size}, ada_bs={args.ada_bs}); --no_mesh disables",

@@ -50,6 +50,69 @@ def default_data_mesh(min_devices: int = 2) -> Optional[Mesh]:
     return Mesh(np.asarray(devices), ("data",))
 
 
+def global_data_mesh(bs_local: Optional[int] = None) -> Optional[Mesh]:
+    """A 'data' mesh spanning ALL processes' devices — the SPMD fabric for
+    multi-host reconstruction (the reference wraps reconstruction in
+    DistributedDataParallel so every rank's gradients allreduce,
+    adaround.py:121; here ONE jitted program over this mesh gets the same
+    cross-process psum from XLA, riding ICI/DCN).
+
+    `bs_local` is each process's slice of the global batch; when it does
+    not divide the per-process device count, the mesh falls back to one
+    device per process so the batch still shards evenly.  Returns None
+    single-process."""
+    if jax.process_count() == 1:
+        return None
+    n_local = len(jax.local_devices())
+    if bs_local is not None and n_local > 1 and bs_local % n_local:
+        by_proc = {}
+        for d in jax.devices():
+            by_proc.setdefault(d.process_index, d)
+        devices = [by_proc[p] for p in sorted(by_proc)]
+        return Mesh(np.asarray(devices), ("data",))
+    return Mesh(np.asarray(jax.devices()), ("data",))
+
+
+def assert_rank_identical(graph, tag: str) -> None:
+    """Enforce the reference's multi-host invariant — "model ... must be
+    exactly the same on every GPU" (weight_trans_base.py:16-18) — by
+    comparing a crc32 checksum of every initializer across processes.
+    No-op single-process; raises on divergence instead of silently
+    shipping rank 0's variant."""
+    if jax.process_count() == 1:
+        return
+    import zlib
+    from jax.experimental import multihost_utils
+    crc = 0
+    for name in sorted(graph.initializer):
+        arr = np.ascontiguousarray(graph.initializer[name])
+        crc = zlib.crc32(arr.tobytes(), zlib.crc32(name.encode(), crc))
+    crcs = np.asarray(multihost_utils.process_allgather(jnp.uint32(crc)))
+    if not (crcs == crcs[0]).all():
+        raise RuntimeError(
+            f"{tag}: weight divergence across processes (initializer crcs "
+            f"{[hex(int(c)) for c in crcs]}); the multi-host invariant "
+            f"(reference weight_trans_base.py:16-18) is broken")
+
+
+def allreduce_sum_arrays(arrays):
+    """Element-wise sum of a list of equal-shape float arrays across
+    processes (flattened into ONE allgather round-trip).  Identity
+    single-process."""
+    if jax.process_count() == 1:
+        return [np.asarray(a) for a in arrays]
+    from jax.experimental import multihost_utils
+    flat = np.concatenate([np.asarray(a, np.float64).ravel() for a in arrays])
+    summed = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(flat))).sum(axis=0)
+    out, off = [], 0
+    for a in arrays:
+        a = np.asarray(a)
+        out.append(summed[off:off + a.size].reshape(a.shape))
+        off += a.size
+    return out
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 

@@ -4,9 +4,14 @@ Sequencing parity with /root/reference/dipoorlet/weight_transform/
 weight_trans_base.py:15-68: BC -> WE -> BN-update (each followed by the
 required re-calibration) -> AdaRound | BRECQ(/QDrop) | sparse-quant.
 
-SPMD note: the reference's "model/args/clip_val identical on every GPU"
-invariant (weight_trans_base.py:16-18) is automatic here — every process
-runs the same program on the same merged clip values."""
+Multi-host invariant ("model/args/clip_val identical on every GPU",
+weight_trans_base.py:16-18): clip values are collectively merged after
+every (re-)calibration, BC/BN statistics are reduced across processes,
+and reconstruction trains ONE SPMD program over a global mesh spanning
+all processes (ShardPlan + learn_block global assembly) so every rank
+learns identical masks from ALL shards — enforced after each transform by
+parallel.assert_rank_identical (crc32 allgather), where the reference
+runs rank 0 + filesystem broadcast and DDP gradient allreduce."""
 from __future__ import annotations
 
 from ..utils.logging import logger
@@ -21,8 +26,22 @@ from .update_bn import update_bn  # noqa: F401
 from .weight_equalization import node_has_equalized, weight_equalization  # noqa: F401
 
 
+def _recalibrate(graph, args):
+    """Re-run tensor calibration after a weight transform, merging the
+    per-process shard clip values over collectives under multi-host —
+    without this the re-calibrated ranges diverge per rank and every
+    later phase inherits the divergence (the reference re-reads the
+    rank-merged files instead, weight_trans_base.py:40-52)."""
+    from ..calib import tensor_calibration
+    act, w = tensor_calibration(graph, args)
+    if getattr(args, "world_size", 1) > 1:
+        from ..parallel import reduce_clip_val_collective
+        act = reduce_clip_val_collective(act, args.act_quant)
+    return act, w
+
+
 def weight_calibration(onnx_graph, act_clip_val, weight_clip_val, args):
-    from ..calib import find_clip_val_minmax_weight, tensor_calibration
+    from ..calib import find_clip_val_minmax_weight
 
     graph_after_wt = onnx_graph.clone()
 
@@ -30,7 +49,7 @@ def weight_calibration(onnx_graph, act_clip_val, weight_clip_val, args):
         graph_after_wt = smooth_quant(graph_after_wt, args)
         update_model_path("smooth_quant_model", args)
         logger.info("Re calibration...")
-        act_clip_val, weight_clip_val = tensor_calibration(graph_after_wt, args)
+        act_clip_val, weight_clip_val = _recalibrate(graph_after_wt, args)
 
     if args.bc:
         graph_after_wt = bias_correction(graph_after_wt, act_clip_val, weight_clip_val, args)
@@ -40,13 +59,13 @@ def weight_calibration(onnx_graph, act_clip_val, weight_clip_val, args):
     if args.we:
         graph_after_wt = weight_equalization(graph_after_wt, args)
         update_model_path("weight_equal_model", args)
-        act_clip_val, weight_clip_val = tensor_calibration(graph_after_wt, args)
+        act_clip_val, weight_clip_val = _recalibrate(graph_after_wt, args)
 
     if args.update_bn:
         graph_after_wt = update_bn(graph_after_wt, act_clip_val, weight_clip_val, args)
         update_model_path("update_bn_model", args)
         logger.info("Re calibration...")
-        act_clip_val, weight_clip_val = tensor_calibration(graph_after_wt, args)
+        act_clip_val, weight_clip_val = _recalibrate(graph_after_wt, args)
         if getattr(args, "rank", 0) == 0:
             save_clip_val(dict(act_clip_val), dict(weight_clip_val), args)
 

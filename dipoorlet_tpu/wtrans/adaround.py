@@ -6,7 +6,6 @@ mask against the FP32 layer output using the quantized-prefix input,
 then hard-round the weight into both graphs (incremental reuse)."""
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import jax.numpy as jnp
@@ -14,8 +13,8 @@ import jax.numpy as jnp
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu,
-                     mesh_sharding, quantized_input_name, shard_bounds,
-                     stable_seed, weight_qparams_for_node)
+                     mesh_sharding, quantized_input_name, reconstruction_mesh,
+                     reconstruction_plan, stable_seed, weight_qparams_for_node)
 from .reconstruct import LayerSpec, hard_round_weight, learn_block, node_signature
 from .weight_equalization import node_has_equalized
 
@@ -37,12 +36,14 @@ def adaround(graph_ori, graph, act_clip_val, weight_clip_val, args):
     clip_val = act_clip_val.copy()
     clip_val.update(weight_clip_val)
     graph_ada = graph.clone()
-    st, ed = shard_bounds(args)
-    num_per_rank = ed - st
+    plan = reconstruction_plan(args)
+    gmesh = reconstruction_mesh(args, plan)
 
-    fp_provider = make_activation_provider(graph_ori, args, st, ed)
+    fp_provider = make_activation_provider(graph_ori, args, 0, args.data_num,
+                                           indices=plan.indices)
     graph_q, _ = quant_graph(graph_ada, clip_val, args)
-    q_provider = make_activation_provider(graph_q, args, st, ed)
+    q_provider = make_activation_provider(graph_q, args, 0, args.data_num,
+                                          indices=plan.indices)
 
     for node in graph_ori.graph.node:
         if node.name in args.skip_layers:
@@ -62,11 +63,12 @@ def adaround(graph_ori, graph, act_clip_val, weight_clip_val, args):
         fp_out = fp_out.reshape((fp_out.shape[0],) + fp_out.shape[2:])
 
         spec = _build_layer_spec(graph_ada, graph_ada, node, clip_val, args, relu_flag)
-        total_iter = int(args.ada_epoch * math.ceil(num_per_rank / args.ada_bs))
+        total_iter = int(args.ada_epoch * plan.n_batches)
         masks = learn_block([spec], q_in, fp_out, args.ada_bs, args.ada_epoch,
                             total_iter, acti_quant=False, drop=False,
                             seed=stable_seed(node.name, args),
-                            data_sharding=mesh_sharding(args))
+                            data_sharding=mesh_sharding(args),
+                            plan=plan, global_mesh=gmesh)
         new_weight = hard_round_weight(spec, masks[0])
         graph_ada.set_initializer(node.input[1], new_weight)
         q_provider.update_weight(node.input[1], new_weight)
@@ -75,6 +77,9 @@ def adaround(graph_ori, graph, act_clip_val, weight_clip_val, args):
         if hasattr(p, "sweep_equivalents"):
             logger.info("adaround %s activation replays: %.2f full-net forwards",
                         tag, p.sweep_equivalents())
+    if getattr(args, "world_size", 1) > 1:
+        from ..parallel import assert_rank_identical
+        assert_rank_identical(graph_ada, "adaround")
     if getattr(args, "rank", 0) == 0 and graph_ada.output_dir:
         graph_ada.update_model()
         graph_ada.save_onnx_model("adaround")

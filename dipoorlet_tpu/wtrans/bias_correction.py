@@ -61,6 +61,11 @@ def bias_correction(graph: GraphIR, act_clip_val, weight_clip_val, args):
         graph_bc.set_initializer(bias_name, new_bias)
         q_provider.update_weight(bias_name, new_bias)
 
+    import jax
+    if jax.process_count() > 1:
+        from ..parallel import assert_rank_identical
+        assert_rank_identical(graph_bc, "bias_correction")
     graph_bc.update_model()
-    graph_bc.save_onnx_model("update_bias_model")
+    if getattr(args, "rank", 0) == 0:
+        graph_bc.save_onnx_model("update_bias_model")
     return graph_bc

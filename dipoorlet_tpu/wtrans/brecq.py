@@ -7,7 +7,6 @@ QDrop (--drop) mixes quant/FP block inputs 50/50 per element and
 fake-quants activations inside the block with drop ratio 0.5."""
 from __future__ import annotations
 
-import math
 
 import numpy as np
 
@@ -16,7 +15,8 @@ from ..utils.logging import logger
 from .adaround import _build_layer_spec
 from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider,
                      acti_qparams_for_node, follow_relu, get_block_from_first,
-                     mesh_sharding, quantized_input_name, shard_bounds, stable_seed)
+                     mesh_sharding, quantized_input_name, reconstruction_mesh,
+                     reconstruction_plan, stable_seed)
 from .reconstruct import hard_round_weight, learn_block
 from .weight_equalization import node_has_equalized
 
@@ -25,13 +25,15 @@ def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
     clip_val = act_clip_val.copy()
     clip_val.update(weight_clip_val)
     graph_brecq = graph.clone()
-    st, ed = shard_bounds(args)
-    num_per_rank = ed - st
+    plan = reconstruction_plan(args)
+    gmesh = reconstruction_mesh(args, plan)
     log_head = "Qdrop" if args.drop else "Brecq"
 
-    fp_provider = make_activation_provider(graph_ori, args, st, ed)
+    fp_provider = make_activation_provider(graph_ori, args, 0, args.data_num,
+                                           indices=plan.indices)
     graph_q, _ = quant_graph(graph_brecq, clip_val, args)
-    q_provider = make_activation_provider(graph_q, args, st, ed)
+    q_provider = make_activation_provider(graph_q, args, 0, args.data_num,
+                                          indices=plan.indices)
 
     already = set()
     for node in graph_ori.graph.node:
@@ -64,12 +66,13 @@ def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
                                            args, relu_flag, acti_qp=acti_qp))
 
         max_epoch = args.ada_epoch * len(block)
-        total_iter = int(max_epoch * math.ceil(num_per_rank / args.ada_bs))
+        total_iter = int(max_epoch * plan.n_batches)
         masks = learn_block(specs, q_in, fp_out, args.ada_bs, max_epoch, total_iter,
                             acti_quant=bool(getattr(args, "acti_quant", args.drop)),
                             drop=bool(args.drop), fp_in=fp_in,
                             seed=stable_seed(block[0].name, args),
-                            data_sharding=mesh_sharding(args))
+                            data_sharding=mesh_sharding(args),
+                            plan=plan, global_mesh=gmesh)
 
         for spec, mask, _node in zip(specs, masks, block):
             new_weight = hard_round_weight(spec, mask)
@@ -80,6 +83,9 @@ def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
         if hasattr(p, "sweep_equivalents"):
             logger.info("brecq %s activation replays: %.2f full-net forwards",
                         tag, p.sweep_equivalents())
+    if getattr(args, "world_size", 1) > 1:
+        from ..parallel import assert_rank_identical
+        assert_rank_identical(graph_brecq, "brecq")
     if getattr(args, "rank", 0) == 0 and graph_brecq.output_dir:
         graph_brecq.update_model()
         graph_brecq.save_onnx_model("brecq")

@@ -9,8 +9,9 @@ that evaluate each node exactly once per sweep
 (SegmentedActivationProvider)."""
 from __future__ import annotations
 
+import math
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import numpy as np
 import jax
@@ -38,6 +39,63 @@ def stable_seed(name: str, args) -> int:
     import zlib
     base = zlib.crc32(name.encode("utf-8"))
     return (base + (getattr(args, "seed", 0) or 0) * 0x9E3779B9) % (2 ** 31)
+
+
+class ShardPlan(NamedTuple):
+    indices: np.ndarray   # global sample ids this process computes, block order
+    n_batches: int        # minibatches per epoch (GLOBAL semantics)
+    bs_local: int         # this process's slice of each global minibatch
+    valid: np.ndarray     # (n_batches, bs_local) float32 mask of real samples
+    slots: np.ndarray     # positions of `indices` in the (n_batches*bs_local,) stack
+
+
+def reconstruction_plan(args) -> ShardPlan:
+    """Sample-to-minibatch assignment for reconstruction.
+
+    Single-process: contiguous [0, N) in ceil(N/BS) zero-padded minibatches
+    (the established layout).  Multi-process: GLOBAL minibatch b is the
+    contiguous sample range [b*BS, (b+1)*BS) — the single-process
+    composition — split into world_size blocks of BS/world consecutive
+    samples; process r computes the blocks congruent to r and contributes
+    its (n_batches, BS/world) slice of the globally sharded batch axis.
+    One jitted program over the global mesh then gives every rank the
+    gradient of the FULL global batch via XLA's psum (the role of the
+    reference's DDP allreduce, adaround.py:121), so all ranks learn
+    identical masks from ALL calibration data."""
+    n = args.data_num
+    world = getattr(args, "world_size", 1)
+    rank = getattr(args, "rank", 0)
+    if n < world:
+        raise ValueError(f"data_num {n} < process count {world}")
+    # a minibatch larger than the dataset would leave high ranks without
+    # samples: clamp to the largest world-divisible size that fits
+    bs = min(args.ada_bs, max(world, (n // world) * world))
+    if bs % world:
+        raise ValueError(
+            f"--ada_bs {bs} must be divisible by the process count {world}")
+    bsl = bs // world
+    n_batches = max(1, math.ceil(n / bs))
+    idx, slots = [], []
+    valid = np.zeros((n_batches, bsl), np.float32)
+    for b in range(n_batches):
+        lo = (b * world + rank) * bsl
+        for j in range(min(bsl, max(0, n - lo))):
+            idx.append(lo + j)
+            slots.append(b * bsl + j)
+            valid[b, j] = 1.0
+    return ShardPlan(np.asarray(idx, np.int64), n_batches, bsl, valid,
+                     np.asarray(slots, np.int64))
+
+
+def reconstruction_mesh(args, plan: ShardPlan):
+    """The cross-process global data mesh reconstruction trains over under
+    multi-host (all ranks' gradients reduce in-program); None
+    single-process (the single-controller multi-chip case rides the
+    ordinary data_sharding path instead)."""
+    if getattr(args, "world_size", 1) > 1:
+        from ..parallel import global_data_mesh
+        return global_data_mesh(plan.bs_local)
+    return None
 
 
 def follow_relu(graph: GraphIR, node) -> bool:
@@ -120,12 +178,17 @@ class ActivationProvider:
     (adaround.py:40-45) for free."""
 
     def __init__(self, graph: GraphIR, args, st: int, ed: int,
-                 batch_size: Optional[int] = None):
+                 batch_size: Optional[int] = None,
+                 indices: Optional[np.ndarray] = None):
         self.graph = graph
         self.ex = Executor(graph)
         self.params = {k: jnp.asarray(v) for k, v in self.ex.init_params().items()}
         self.dataset = CalibDataset(args.input_dir, self.ex.input_shapes(), args.data_num)
         self.st, self.ed = st, ed
+        # explicit sample-id list (a ShardPlan's block-strided assignment)
+        # overrides the contiguous [st, ed) shard
+        self.indices = (np.asarray(indices, np.int64) if indices is not None
+                        else np.arange(st, ed, dtype=np.int64))
         self.batch_size = batch_size or getattr(args, "batch_size", 16)
         # replay batches shard over the CLI mesh so the prefix forwards run
         # data-parallel (the reference's per-GPU ActivationCache shards)
@@ -134,6 +197,10 @@ class ActivationProvider:
                 self.batch_size % self._sharding.mesh.devices.size:
             self._sharding = None
         self._fns: Dict = {}
+
+    def _iter_batches(self):
+        for st in range(0, len(self.indices), self.batch_size):
+            yield [int(i) for i in self.indices[st:st + self.batch_size]]
 
     def _place(self, batch):
         if self._sharding is None:
@@ -161,7 +228,7 @@ class ActivationProvider:
                 self._fns[key] = self.ex.make_batched(taps=tensor_names, outputs=())
         fn = self._fns[key]
         chunks = {n: [] for n in tensor_names}
-        for idx in self.dataset.iter_batches(self.batch_size, self.st, self.ed):
+        for idx in self._iter_batches():
             batch = self.dataset.load_batch(idx)
             n_valid = len(idx)
             if n_valid < self.batch_size:
@@ -193,7 +260,7 @@ class ActivationProvider:
         fn = self._fns[key]
         sums = {n: 0.0 for n in tensor_names}
         count = 0
-        for idx in self.dataset.iter_batches(self.batch_size, self.st, self.ed):
+        for idx in self._iter_batches():
             batch = self.dataset.load_batch(idx)
             n_valid = len(idx)
             if n_valid < self.batch_size:
@@ -206,6 +273,18 @@ class ActivationProvider:
                 sums[n] = sums[n] + np.asarray(jax.device_get(
                     jnp.sum(taps[n][:n_valid], axis=0)))
             count += n_valid
+        if jax.process_count() > 1:
+            # multi-host: reduce the sufficient statistics across processes
+            # so every rank derives the SAME mean from ALL shards (the
+            # reference instead runs rank 0 only and broadcasts via the
+            # filesystem, weight_trans_base.py:22-29 — this is both
+            # rank-identical and full-data)
+            from ..parallel import allreduce_sum_arrays
+            order = list(tensor_names)
+            reduced = allreduce_sum_arrays(
+                [sums[n] for n in order] + [np.float64(count)])
+            sums = dict(zip(order, reduced[:-1]))
+            count = float(reduced[-1])
         return {n: sums[n] / count for n in tensor_names}
 
 
@@ -238,13 +317,16 @@ class SegmentedActivationProvider:
     DEFAULT_BUDGET_GB = 4.0
 
     def __init__(self, graph: GraphIR, args, st: int, ed: int,
-                 batch_size: Optional[int] = None):
+                 batch_size: Optional[int] = None,
+                 indices: Optional[np.ndarray] = None):
         self.graph = graph
         self.ex = Executor(graph)
         self.params = {k: jnp.asarray(v) for k, v in self.ex.init_params().items()}
         self.dataset = CalibDataset(args.input_dir, self.ex.input_shapes(), args.data_num)
         self.st, self.ed = st, ed
-        self.n = ed - st
+        self.indices = (np.asarray(indices, np.int64) if indices is not None
+                        else np.arange(st, ed, dtype=np.int64))
+        self.n = len(self.indices)
         self.batch_size = batch_size or getattr(args, "batch_size", 16)
         self._sharding = mesh_sharding(args)
         if self._sharding is not None and \
@@ -267,7 +349,8 @@ class SegmentedActivationProvider:
         # initial frontier = the network inputs, padded to full batches,
         # as host chunks (uploaded with the first segment)
         chunks: Dict[str, list] = {name: [] for name in self.dataset.input_shapes}
-        for idx in self.dataset.iter_batches(self.batch_size, st, ed):
+        for bst in range(0, self.n, self.batch_size):
+            idx = [int(i) for i in self.indices[bst:bst + self.batch_size]]
             batch = self.dataset.load_batch(idx)
             if len(idx) < self.batch_size:
                 batch = {k: np.concatenate(
@@ -357,12 +440,14 @@ class SegmentedActivationProvider:
 
 
 def make_activation_provider(graph: GraphIR, args, st: int, ed: int,
-                             batch_size: Optional[int] = None):
+                             batch_size: Optional[int] = None,
+                             indices: Optional[np.ndarray] = None):
     """Segmented (single-sweep) provider by default;
     DIPOORLET_TPU_SEGMENTED=0 falls back to full prefix replays."""
     if os.environ.get("DIPOORLET_TPU_SEGMENTED", "1") == "1":
-        return SegmentedActivationProvider(graph, args, st, ed, batch_size)
-    return ActivationProvider(graph, args, st, ed, batch_size)
+        return SegmentedActivationProvider(graph, args, st, ed, batch_size,
+                                           indices=indices)
+    return ActivationProvider(graph, args, st, ed, batch_size, indices=indices)
 
 
 def shard_bounds(args):

@@ -77,6 +77,65 @@ def _to_onnx_layout(w, transposed):
     return jnp.swapaxes(w, 0, 1) if transposed else w
 
 
+def make_stacker(n, batch_size, data_sharding=None, plan=None, global_mesh=None):
+    """Builds the (n_batches, bs, ...) minibatch stacking machinery shared
+    by the reconstruction and sparse trainers.
+
+    Returns (stack, place, n_batches, bs_local, multihost): `stack` maps a
+    local (N_local, ...) activation stack into the training layout —
+    scattered into this process's plan slots, then (multi-host) assembled
+    into the GLOBAL (n_batches, bs_global, ...) array over a mesh spanning
+    every process, or (single-controller) device_put with the batch axis
+    sharded over the local data mesh.  `place` does only the placement
+    step for an already-stacked array (the valid mask)."""
+    multihost = global_mesh is not None  # only passed under process_count > 1
+    if plan is not None:
+        n_batches, bsl = plan.n_batches, plan.bs_local
+        slots = jnp.asarray(plan.slots)
+    else:
+        n_batches = max(1, math.ceil(n / batch_size))
+        bsl = batch_size
+        slots = jnp.arange(n)
+
+    if data_sharding is not None and bsl % data_sharding.mesh.devices.size:
+        data_sharding = None  # batch does not divide the mesh: run replicated
+    stacked_sharding = None
+    from jax.sharding import NamedSharding, PartitionSpec
+    if multihost:
+        stacked_sharding = NamedSharding(global_mesh, PartitionSpec(None, "data"))
+    elif data_sharding is not None:
+        stacked_sharding = NamedSharding(data_sharding.mesh,
+                                         PartitionSpec(None, *data_sharding.spec))
+
+    def place(full):
+        if multihost:
+            # every process contributes its (n_batches, bs_local) slice of
+            # the (n_batches, bs_global) array along the sharded batch axis
+            return jax.make_array_from_process_local_data(
+                stacked_sharding, np.asarray(jax.device_get(full)))
+        if stacked_sharding is not None:
+            return jax.device_put(full, stacked_sharding)
+        return full
+
+    def stack(a):
+        a = jnp.asarray(a)  # device-side scatter; inputs may already live on device
+        full = jnp.zeros((n_batches * bsl,) + a.shape[1:], a.dtype)
+        if n:
+            full = full.at[slots].set(a)
+        return place(full.reshape((n_batches, bsl) + a.shape[1:]))
+
+    return stack, place, n_batches, bsl, multihost
+
+
+def _valid_mask(n, batch_size, plan=None):
+    if plan is not None:
+        return jnp.asarray(plan.valid)
+    n_batches = max(1, math.ceil(n / batch_size))
+    v = np.zeros((n_batches, batch_size), np.float32)
+    v.ravel()[:n] = 1.0
+    return jnp.asarray(v)
+
+
 class _BlockSig(NamedTuple):
     layers: tuple      # per-layer (node_sig, transposed, relu, per_channel, has_bias, has_acti)
     batch_size: int
@@ -164,46 +223,34 @@ def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
                 batch_size: int, max_epoch: int, total_iter: int,
                 acti_quant: bool = False, drop: bool = False,
                 fp_in: Optional[np.ndarray] = None, seed: int = 0,
-                data_sharding=None):
-    """Returns the list of learned round masks (device arrays).
+                data_sharding=None, plan=None, global_mesh=None):
+    """Returns the list of learned round masks.
 
-    q_in/fp_out: (N, *shape) with the declared batch dim already squeezed
-    (reference squeezes dim 1, adaround.py:128).
+    q_in/fp_out: (N_local, *shape) with the declared batch dim already
+    squeezed (reference squeezes dim 1, adaround.py:128).
 
     data_sharding: a NamedSharding over the batch axis (P('data')); the
     stacked (n_batches, bs, ...) layout shards bs and replicates the
-    step axis."""
-    n = q_in.shape[0]
-    n_batches = max(1, math.ceil(n / batch_size))
-    pad = n_batches * batch_size - n
+    step axis.
 
-    if data_sharding is not None and batch_size % data_sharding.mesh.devices.size:
-        data_sharding = None  # batch does not divide the mesh: run replicated
-    stacked_sharding = None
-    if data_sharding is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-        spec = PartitionSpec(None, *data_sharding.spec)
-        stacked_sharding = NamedSharding(data_sharding.mesh, spec)
-
-    def stack(a):
-        a = jnp.asarray(a)  # device-side padding; inputs may already live on device
-        if pad:
-            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-        a = a.reshape((n_batches, batch_size) + a.shape[1:])
-        if stacked_sharding is not None:
-            a = jax.device_put(a, stacked_sharding)
-        return a
-
+    plan/global_mesh (multi-host): a ShardPlan mapping this process's
+    activations into its (n_batches, bs_local) slice of the GLOBAL
+    minibatch, assembled over a mesh spanning every process's devices —
+    one SPMD program whose backward psum reduces gradients across all
+    ranks (the reference's DDP allreduce, adaround.py:121), so every rank
+    learns identical masks from all shards."""
+    stack, place, n_batches, bsl, multihost = make_stacker(
+        q_in.shape[0], batch_size, data_sharding, plan, global_mesh)
     q_in_d = stack(q_in)
     fp_out_d = stack(fp_out)
     fp_in_d = stack(fp_in) if fp_in is not None else q_in_d
-    valid = stack(np.ones((n,), np.float32))
+    valid = place(_valid_mask(q_in.shape[0], batch_size, plan))
 
     layers_sig = tuple(
         (s.node_sig, s.transposed, s.relu, s.per_channel, s.bias is not None,
          s.acti_qp is not None)
         for s in specs)
-    bsig = _BlockSig(layers=layers_sig, batch_size=batch_size, n_batches=n_batches,
+    bsig = _BlockSig(layers=layers_sig, batch_size=bsl, n_batches=n_batches,
                      total_iter=int(total_iter), acti_quant=acti_quant, drop=drop)
 
     weights = tuple(s.weight for s in specs)
@@ -223,7 +270,13 @@ def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
     masks, losses = _train_block(bsig, weights, biases, wq, actis, masks0,
                                  q_in_d, fp_out_d, fp_in_d, valid,
                                  jnp.int32(seed))
-    final_l2 = float(losses[-1])
+    if multihost:
+        # masks/losses are replicated over the global mesh; pull them to
+        # host so downstream hard-rounding is a purely local computation
+        masks = [jnp.asarray(np.asarray(jax.device_get(m))) for m in masks]
+        final_l2 = float(np.asarray(jax.device_get(losses))[-1])
+    else:
+        final_l2 = float(losses[-1])
     for m in masks:
         h = np.asarray(rectified_sigmoid(m))
         ceil_n = int((h + 1e-4 >= 1.0).sum())

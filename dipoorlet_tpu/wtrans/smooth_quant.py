@@ -217,7 +217,8 @@ def smooth_quant(graph: GraphIR, args) -> GraphIR:
         graph.infer_shapes()
         logger.info("SmoothQuant: %d weights via LN-fold, %d via inserted "
                     "per-channel Mul (alpha=%.2f).", n_fold, n_insert, alpha)
-        graph.save_onnx_model("smooth_quant_model")
+        if getattr(args, "rank", 0) == 0:
+            graph.save_onnx_model("smooth_quant_model")
     else:
         logger.info("SmoothQuant: all groups near-uniform, nothing to do.")
     return graph

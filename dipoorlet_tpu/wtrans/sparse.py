@@ -9,7 +9,6 @@ final weight = quant(prune(w)).  The full loop runs on-device in one
 lax.scan."""
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import jax
@@ -21,7 +20,8 @@ from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
 from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu,
-                     mesh_sharding, quantized_input_name, shard_bounds)
+                     mesh_sharding, quantized_input_name, reconstruction_mesh,
+                     reconstruction_plan)
 from .reconstruct import _apply_from_sig, _to_onnx_layout
 from .weight_equalization import node_has_equalized
 
@@ -78,13 +78,15 @@ def sparse_quant(graph_ori, graph, act_clip_val, weight_clip_val, args):
     clip_val = act_clip_val.copy()
     clip_val.update(weight_clip_val)
     graph_sq = graph.clone()
-    st, ed = shard_bounds(args)
-    num_per_rank = ed - st
+    plan = reconstruction_plan(args)
+    gmesh = reconstruction_mesh(args, plan)
     sparse_info = {"sparse": True, "rate": args.sparse_rate, "pattern": args.pattern}
 
-    fp_provider = make_activation_provider(graph_ori, args, st, ed)
+    fp_provider = make_activation_provider(graph_ori, args, 0, args.data_num,
+                                           indices=plan.indices)
     graph_q, _ = quant_graph(graph_sq, clip_val, args)
-    q_provider = make_activation_provider(graph_q, args, st, ed)
+    q_provider = make_activation_provider(graph_q, args, 0, args.data_num,
+                                          indices=plan.indices)
 
     for node in graph_ori.graph.node:
         if node.name in args.skip_layers:
@@ -104,10 +106,14 @@ def sparse_quant(graph_ori, graph, act_clip_val, weight_clip_val, args):
 
         spec = _build_layer_spec(graph_sq, graph_sq, node, clip_val, args, relu_flag)
         new_weight = _learn_sparse(spec, q_in, fp_out, args.ada_bs, args.ada_epoch,
-                                   sparse_info, data_sharding=mesh_sharding(args))
+                                   sparse_info, data_sharding=mesh_sharding(args),
+                                   plan=plan, global_mesh=gmesh)
         graph_sq.set_initializer(node.input[1], new_weight)
         q_provider.update_weight(node.input[1], new_weight)
 
+    if getattr(args, "world_size", 1) > 1:
+        from ..parallel import assert_rank_identical
+        assert_rank_identical(graph_sq, "sparse_quant")
     if getattr(args, "rank", 0) == 0 and graph_sq.output_dir:
         graph_sq.update_model()
         graph_sq.save_onnx_model("sparse_quant")
@@ -115,33 +121,16 @@ def sparse_quant(graph_ori, graph, act_clip_val, weight_clip_val, args):
 
 
 def _learn_sparse(spec, q_in, fp_out, batch_size, max_epoch, sparse_info,
-                  data_sharding=None):
-    n = q_in.shape[0]
-    n_batches = max(1, math.ceil(n / batch_size))
-    pad = n_batches * batch_size - n
-
-    # stacked (n_batches, bs, ...) layout; bs axis shards over the mesh
-    # (see reconstruct.learn_block)
-    if data_sharding is not None and batch_size % data_sharding.mesh.devices.size:
-        data_sharding = None
-    stacked_sharding = None
-    if data_sharding is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
-        stacked_sharding = NamedSharding(data_sharding.mesh,
-                                         PartitionSpec(None, *data_sharding.spec))
-
-    def stack(a):
-        a = jnp.asarray(a)
-        if pad:
-            a = jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-        a = a.reshape((n_batches, batch_size) + a.shape[1:])
-        if stacked_sharding is not None:
-            a = jax.device_put(a, stacked_sharding)
-        return a
-
+                  data_sharding=None, plan=None, global_mesh=None):
+    from .reconstruct import _valid_mask, make_stacker
+    # stacked (n_batches, bs, ...) layout; bs axis shards over the local
+    # mesh, or over the all-process global mesh under multi-host (see
+    # reconstruct.make_stacker)
+    stack, place, n_batches, _, multihost = make_stacker(
+        q_in.shape[0], batch_size, data_sharding, plan, global_mesh)
     q_in_d = stack(q_in)
     fp_out_d = stack(fp_out)
-    valid = stack(np.ones((n,), np.float32))
+    valid = place(_valid_mask(q_in.shape[0], batch_size, plan))
     total_iter = max_epoch * n_batches
 
     # torch CosineAnnealingLR stepped per epoch (sparse_quant.py:108-127)
@@ -187,6 +176,10 @@ def _learn_sparse(spec, q_in, fp_out, batch_size, max_epoch, sparse_info,
         return w, losses
 
     w_fin, losses = train(w0, opt_state)
+    if multihost:
+        # replicated over the global mesh; pull to host for local finishing
+        w_fin = jnp.asarray(np.asarray(jax.device_get(w_fin)))
+        losses = np.asarray(jax.device_get(losses))
     logger.info("Loss: %.6f", float(losses[-1]))
     w_final = quant_weight_ste(prune_weight(w_fin, sparse_info), spec.qp, spec.per_channel)
     return np.asarray(_to_onnx_layout(w_final, spec.transposed))

@@ -13,6 +13,7 @@ momentum recurrence runs on host over tiny (C,) vectors."""
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..graph.graph import GraphIR
@@ -29,7 +30,8 @@ def update_bn(graph: GraphIR, act_clip_val, weight_clip_val, args):
     graph_bn = graph.clone()
     bn_nodes = [n for n in graph_bn.graph.node if n.op_type == "BatchNormalization"]
     if not bn_nodes:
-        graph_bn.save_onnx_model("update_bn_model")
+        if getattr(args, "rank", 0) == 0:
+            graph_bn.save_onnx_model("update_bn_model")
         return graph_bn
 
     st, ed = shard_bounds(args)
@@ -57,6 +59,18 @@ def update_bn(graph: GraphIR, act_clip_val, weight_clip_val, args):
             stds.append(np.asarray(s))
         means = np.concatenate(means, axis=0)
         stds = np.concatenate(stds, axis=0)
+        if jax.process_count() > 1:
+            # multi-host: gather every rank's per-sample stats (equal-size
+            # contiguous shards, so rank-major concatenation IS the global
+            # sample order) and run the momentum recurrence over ALL
+            # samples on every rank — rank-identical and full-data, where
+            # the reference runs rank 0 only and broadcasts via the
+            # filesystem (weight_trans_base.py:22-29)
+            from jax.experimental import multihost_utils
+            g_m = np.asarray(multihost_utils.process_allgather(jnp.asarray(means)))
+            g_s = np.asarray(multihost_utils.process_allgather(jnp.asarray(stds)))
+            means = g_m.reshape(-1, g_m.shape[-1])
+            stds = g_s.reshape(-1, g_s.shape[-1])
 
         running_mean = graph_bn.get_initializer(node.input[3]).astype(np.float64)
         running_var = graph_bn.get_initializer(node.input[4]).astype(np.float64)
@@ -69,6 +83,10 @@ def update_bn(graph: GraphIR, act_clip_val, weight_clip_val, args):
         q_provider.update_weight(node.input[3], running_mean.astype(np.float32))
         q_provider.update_weight(node.input[4], running_var.astype(np.float32))
 
+    if jax.process_count() > 1:
+        from ..parallel import assert_rank_identical
+        assert_rank_identical(graph_bn, "update_bn")
     graph_bn.update_model()
-    graph_bn.save_onnx_model("update_bn_model")
+    if getattr(args, "rank", 0) == 0:
+        graph_bn.save_onnx_model("update_bn_model")
     return graph_bn

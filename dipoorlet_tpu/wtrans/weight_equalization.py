@@ -90,5 +90,6 @@ def weight_equalization(graph: GraphIR, args):
             if new_b1 is not None:
                 graph_we.set_initializer(node.input[2], new_b1)
     graph_we.update_model()
-    graph_we.save_onnx_model("weight_equal_model")
+    if getattr(args, "rank", 0) == 0:
+        graph_we.save_onnx_model("weight_equal_model")
     return graph_we

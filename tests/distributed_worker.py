@@ -34,6 +34,32 @@ hist = reduce_clip_val_collective({k: list(v) for k, v in local.items()}, "hist"
 _barrier()
 
 
+# the multi-host weight invariant detector: identical graphs pass,
+# rank-dependent weights raise
+from dipoorlet_tpu import onnx_ir as oir  # noqa: E402
+from dipoorlet_tpu.graph import GraphIR  # noqa: E402
+from dipoorlet_tpu.parallel import assert_rank_identical  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def _toy_graph(value):
+    w = oir.array_to_tensor(np.full((2, 2), value, np.float32), "w")
+    nodes = [oir.make_node("MatMul", ["x", "w"], ["y"], name="mm")]
+    graph = oir.make_graph(
+        nodes, "g", [oir.make_tensor_value_info("x", oir.DataType.FLOAT, [1, 2])],
+        [oir.make_tensor_value_info("y", oir.DataType.FLOAT, [1, 2])],
+        initializer=[w])
+    return GraphIR(oir.make_model(graph))
+
+
+assert_rank_identical(_toy_graph(1.0), "same")   # must not raise
+try:
+    assert_rank_identical(_toy_graph(float(rank)), "diverged")
+    raise SystemExit("divergence not detected")
+except RuntimeError:
+    pass
+
+
 class _Args:
     output_dir = outdir
     model_type = None
