@@ -172,6 +172,15 @@ def main(argv=None):
         # LayerNorm/GELU patterns before calibration
         from .graph.transformer_opt import optimize_transformer
         optimize_transformer(onnx_graph)
+    # detection exports: cut the data-dependent postprocess (NMS onward) so
+    # the backbone+head calibrates statically (graph/passes.py rationale)
+    from .graph.passes import truncate_for_static_execution
+    removed_dyn = truncate_for_static_execution(onnx_graph)
+    if removed_dyn and rank == 0:
+        logger.info("Truncated %d dynamic postprocess node(s) at "
+                    "NonMaxSuppression for static execution; quantizing the "
+                    "backbone+head, new outputs: %s",
+                    len(removed_dyn), list(onnx_graph.network_outputs))
     if rank == 0 and not args.optim_transformer:
         from .graph import validate_graph
         try:

@@ -213,3 +213,60 @@ def _prune_unused_initializers(g: GraphIR, nodes):
     if len(keep) != len(g.graph.initializer):
         g.graph.initializer = keep
     g.prepare_initializer()
+
+
+# ---------------------------------------------------------------------------
+# Detection-graph truncation
+# ---------------------------------------------------------------------------
+# Ops whose ONNX output size is data-dependent: ORT (the reference's
+# substrate, forward_net.py:195-201) materializes them dynamically, XLA
+# cannot.  Our op library executes them with a fixed-size padded output
+# (ops/detection.py), which is fine standalone but poisons any consumer
+# arithmetic — so for calibration/profiling the CLI cuts the graph just
+# before them and quantizes the statically-meaningful backbone+head (what
+# an actual TPU/TRT deployment quantizes; NMS runs as postprocess).
+DYNAMIC_OUTPUT_OPS = {"NonMaxSuppression"}
+
+
+def truncate_for_static_execution(g: GraphIR):
+    """Remove every node at-or-downstream-of a dynamic-output op and
+    promote the cut tensors (kept-node outputs the removed subgraph
+    consumed) to graph outputs.  Returns the sorted list of removed node
+    names ([] when the graph has no dynamic-output op)."""
+    from ..onnx_ir import make_tensor_value_info
+    seeds = [n for n in g.graph.node if n.op_type in DYNAMIC_OUTPUT_OPS]
+    if not seeds:
+        return []
+    removed = {n.name for n in seeds}
+    dyn_tensors = {t for n in seeds for t in n.output if t}
+    for node in g.graph.node:  # topo order: one forward sweep closes the set
+        if node.name in removed:
+            continue
+        if any(i in dyn_tensors for i in node.input):
+            removed.add(node.name)
+            dyn_tensors.update(t for t in node.output if t)
+
+    kept_nodes = [n for n in g.graph.node if n.name not in removed]
+    kept_outputs = {t for n in kept_nodes for t in n.output if t}
+    cut_tensors = []
+    for node in g.graph.node:
+        if node.name not in removed:
+            continue
+        for t in node.input:
+            if t and t in kept_outputs and t not in cut_tensors:
+                cut_tensors.append(t)
+
+    for name in list(g.network_outputs):
+        if name not in kept_outputs:
+            g.del_network_output(name)
+    for t in cut_tensors:
+        if t not in g.network_outputs:
+            dtype = g.value_name_type_map.get(t, 1)  # default FLOAT
+            g.add_network_output(
+                make_tensor_value_info(t, dtype, g.tensor_name_shape_map.get(t)))
+
+    g.graph.node = kept_nodes
+    _prune_unused_initializers(g, kept_nodes)
+    g.update_model()
+    g.get_inp_oup()
+    return sorted(removed)

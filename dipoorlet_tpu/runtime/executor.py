@@ -65,7 +65,15 @@ class Executor:
             fn = OP_REGISTRY.get(node.op_type)
             if fn is None:
                 raise NotImplementedError(
-                    f"op '{node.op_type}' (node {node.name}) has no JAX implementation")
+                    f"op '{node.op_type}' (node {node.name}) has no JAX "
+                    f"implementation. dipoorlet_tpu covers the CNN, "
+                    f"transformer-encoder and detection (backbone+head) "
+                    f"families ({len(OP_REGISTRY)} ops); data-dependent "
+                    f"control flow (If/Loop/Scan) and recurrent cells "
+                    f"(LSTM/GRU) are out of the static-XLA contract — "
+                    f"export the model without them, or open the graph at "
+                    f"a static cut (see graph/passes.py "
+                    f"truncate_for_static_execution)")
             static_set = STATIC_INPUTS.get(node.op_type, set())
             statics = {}
             inputs = list(node.input)
