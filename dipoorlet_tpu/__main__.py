@@ -70,8 +70,15 @@ def build_parser():
                         "RNG (per-layer keys are stable crc32(name)+seed; identical "
                         "runs produce byte-identical artifacts).",
                         type=int, default=0)
-    parser.add_argument("--bf16_calib", help="Run calibration forwards in bfloat16 "
-                        "(2x HBM bandwidth; ranges differ by bf16 rounding).",
+    parser.add_argument("--bf16_calib", help="Run calibration stats forwards in "
+                        "bfloat16 (the default: 2x HBM bandwidth; clip ranges "
+                        "differ from fp32 only by bf16 rounding, <1%% relative "
+                        "— measured in BASELINE.md/bench.py bf16_range_drift). "
+                        "Reconstruction, profiling and the emitted quant "
+                        "model stay fp32.",
+                        action="store_true", default=None)
+    parser.add_argument("--no_bf16_calib", help="Force fp32 calibration forwards "
+                        "(bit-exact reference range semantics).",
                         action="store_true")
     parser.add_argument("--cpu", help="Force CPU backend (testing).", action="store_true")
     parser.add_argument("--no_mesh", help="Disable the automatic multi-chip data mesh "
@@ -106,6 +113,9 @@ def main(argv=None):
 
     import jax
 
+    from .utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from .calib import tensor_calibration
     from .deploy import to_deploy
     from .graph import GraphIR
@@ -115,6 +125,13 @@ def main(argv=None):
     from .utils.serialization import (reduce_profiling_res, save_clip_val,
                                       save_profiling_res)
     from .wtrans import weight_calibration
+
+    # bfloat16 stats forwards are the default on accelerators; --no_bf16_calib
+    # restores bit-exact fp32 range semantics
+    if args.no_bf16_calib:
+        args.bf16_calib = False
+    elif args.bf16_calib is None:
+        args.bf16_calib = True
 
     rank = jax.process_index()
     world_size = jax.process_count()

@@ -67,13 +67,12 @@ class Executor:
                 raise NotImplementedError(
                     f"op '{node.op_type}' (node {node.name}) has no JAX "
                     f"implementation. dipoorlet_tpu covers the CNN, "
-                    f"transformer-encoder and detection (backbone+head) "
-                    f"families ({len(OP_REGISTRY)} ops); data-dependent "
-                    f"control flow (If/Loop/Scan) and recurrent cells "
-                    f"(LSTM/GRU) are out of the static-XLA contract — "
-                    f"export the model without them, or open the graph at "
-                    f"a static cut (see graph/passes.py "
-                    f"truncate_for_static_execution)")
+                    f"transformer-encoder, recurrent (LSTM/GRU) and "
+                    f"detection families ({len(OP_REGISTRY)} ops); "
+                    f"data-dependent control flow (If/Loop/Scan) is out of "
+                    f"the static-XLA contract — export the model without "
+                    f"it, or open the graph at a static cut (see "
+                    f"graph/passes.py truncate_for_static_execution)")
             static_set = STATIC_INPUTS.get(node.op_type, set())
             statics = {}
             inputs = list(node.input)

@@ -157,6 +157,13 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--configs", default=None,
                    help="comma-separated substring filter of config names")
+    p.add_argument("--corrupt_calib", type=int, default=0,
+                   help="corrupt this many PIXELS (total, spread over the "
+                   "first calibration sample) with +-corrupt_amp hot values: "
+                   "the corrupted-calibration-set protocol that separates "
+                   "minmax (stretches every range to the outliers) from "
+                   "hist/mse (clip them).  Eval data stays clean.")
+    p.add_argument("--corrupt_amp", type=float, default=60.0)
     args = p.parse_args()
 
     if args.cpu:
@@ -201,20 +208,32 @@ def main():
     fp_top1 = eval_top1_onnx(model_path, xs_test, ys_test)
     log(f"FP32 onnx/executor top-1: {fp_top1:.4f}")
 
-    # calibration data from the training distribution
-    calib_dir = os.path.join(ws, "calib")
+    # calibration data from the training distribution; optionally with a
+    # handful of hot pixels in the first sample (rare-corruption protocol)
+    tag = (f"calib_hot{args.corrupt_calib}x{int(args.corrupt_amp)}"
+           if args.corrupt_calib else "calib")
+    calib_dir = os.path.join(ws, tag)
     if not os.path.exists(os.path.join(calib_dir, ".done")):
         calib_rng = np.random.RandomState(7)
         xs_c, _ = gen.batch(calib_rng, args.n_calib)
+        if args.corrupt_calib:
+            k = args.corrupt_calib
+            flat = xs_c[0].reshape(-1)
+            pos = calib_rng.choice(flat.size, size=k, replace=False)
+            flat[pos] = args.corrupt_amp * np.where(calib_rng.rand(k) < 0.5, -1, 1)
+            log(f"corrupted calib sample 0: {k} pixels at +-{args.corrupt_amp}")
         for i in range(args.n_calib):
             save_sample(calib_dir, "input", i, xs_c[i:i + 1])
         open(os.path.join(calib_dir, ".done"), "w").write("ok")
 
     rows = []
+    suffix = " (hot-calib)" if args.corrupt_calib else ""
     for name, extra in CONFIGS:
         if args.configs and not any(s in name for s in args.configs.split(",")):
             continue
-        out_dir = os.path.join(ws, "out_" + name.replace(" ", "_").replace("+", "_"))
+        name = name + suffix
+        out_dir = os.path.join(ws, "out_" + name.replace(" ", "_").replace("+", "_")
+                               .replace("(", "").replace(")", ""))
         shutil.rmtree(out_dir, ignore_errors=True)
         argv = ["-M", model_path, "-I", calib_dir, "-O", out_dir,
                 "-N", str(args.n_calib), "-D", "trt",
@@ -240,12 +259,18 @@ def main():
         "model": args.model, "size": args.size, "train_steps": args.steps,
         "n_test": args.n_test, "n_calib": args.n_calib,
         "recon_epochs": args.epochs,
+        "corrupt_calib_pixels": args.corrupt_calib,
         "fp32_top1": fp_top1, "rows": rows,
         "protocol": "trained-from-scratch on procedural TextureShapes; "
-                    "held-out top-1; quantized via production CLI",
+                    "held-out top-1; quantized via production CLI"
+                    + (f"; calib set carries {args.corrupt_calib} hot pixels "
+                       f"(+-{args.corrupt_amp}), eval data clean"
+                       if args.corrupt_calib else ""),
     }
     os.makedirs(os.path.join(ROOT, "docs"), exist_ok=True)
-    with open(os.path.join(ROOT, "docs", f"accuracy_{args.model}.json"), "w") as f:
+    fname = (f"accuracy_{args.model}_hot.json" if args.corrupt_calib
+             else f"accuracy_{args.model}.json")
+    with open(os.path.join(ROOT, "docs", fname), "w") as f:
         json.dump(result, f, indent=2)
     write_markdown(result)
     print(json.dumps(result))
