@@ -42,8 +42,8 @@ CACHE = os.path.join(ROOT, ".model_cache")
 from dipoorlet_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
 COMPILE_CACHE = enable_compilation_cache(os.path.join(CACHE, "xla_cache"))
 
-N_SAMPLES = 100
-IMG = 224
+N_SAMPLES = int(os.environ.get("DIPOORLET_BENCH_SAMPLES", "100"))
+IMG = int(os.environ.get("DIPOORLET_BENCH_IMG", "224"))
 BINS = 2048
 BATCH = int(os.environ.get("DIPOORLET_BENCH_BATCH", "16"))
 BATCH_SWEEP = (16, 32, 64)

@@ -123,9 +123,14 @@ def _hist_kernel(idx_ref, out_ref, *, hi_n, lo_n):
     path materializes for the MXU.  The one-hots are built TRANSPOSED —
     (digits, elements), elements on the lane axis, contraction over lanes —
     from a 1D lane-major block: a (elements, 1) column layout is rejected by
-    the remote Mosaic compiler (probed on v5-lite), this form both compiles
-    and beats the XLA path (tools/hist_kernel_probe.py: 0.055s vs 0.060s
-    warm for 64x4M-element histograms)."""
+    the remote Mosaic compiler (probed on v5-lite); this form compiles and
+    runs correctly but measurably TIES the XLA matmul-histogram on that
+    chip (autotune probe 2026-08-21: pallas 0.052s vs xla 0.051s warm for
+    64x4M-element 2048-bin histograms), so the strict-win gate keeps the
+    XLA path in production and this kernel is the documented
+    fallback/reference implementation — the binning cost is VPU-bound
+    one-hot construction (~(hi_n+lo_n) compares/element), which both
+    formulations share."""
     i = pl.program_id(0)
     flat = idx_ref[...]  # (HIST_BLOCK,) int32; -1 = masked padding
     valid = flat >= 0

@@ -134,8 +134,14 @@ class Executor:
             if name in env:
                 want = ONNX_TO_NP.get(self.graph.get_value_type(name))
                 arr = jnp.asarray(env[name])
-                if want is not None and arr.dtype != jnp.dtype(want) \
-                        and np.issubdtype(arr.dtype, np.floating):
+                # cast only float-fed INTEGER inputs (token ids -> indices);
+                # float-declared inputs keep whatever compute dtype the
+                # runner chose (bf16 calibration).  jnp.issubdtype, not np:
+                # bfloat16 is an ml_dtypes type numpy doesn't class as
+                # floating.
+                if want is not None and jnp.issubdtype(jnp.dtype(want), jnp.integer) \
+                        and arr.dtype != jnp.dtype(want) \
+                        and jnp.issubdtype(arr.dtype, jnp.floating):
                     env[name] = arr.astype(want)
 
     def _run_steps(self, steps, params, env, taps, tap_transform, tap_out):

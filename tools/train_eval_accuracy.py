@@ -268,7 +268,8 @@ def main():
                        if args.corrupt_calib else ""),
     }
     os.makedirs(os.path.join(ROOT, "docs"), exist_ok=True)
-    fname = (f"accuracy_{args.model}_hot.json" if args.corrupt_calib
+    fname = (f"accuracy_{args.model}_hot{args.corrupt_calib}x"
+             f"{int(args.corrupt_amp)}.json" if args.corrupt_calib
              else f"accuracy_{args.model}.json")
     with open(os.path.join(ROOT, "docs", fname), "w") as f:
         json.dump(result, f, indent=2)
