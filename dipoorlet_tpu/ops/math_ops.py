@@ -226,3 +226,95 @@ def argmin(ctx, x):
     if keepdims:
         out = jnp.expand_dims(out, axis)
     return out.astype(jnp.int64)
+
+
+# -- long-tail ONNX ops (ORT-breadth parity; reference runs them via
+# onnxruntime, forward_net.py:195-201) ------------------------------------
+_unary("Tan", jnp.tan)
+_unary("Atan", jnp.arctan)
+_unary("Asin", jnp.arcsin)
+_unary("Acos", jnp.arccos)
+_unary("Sinh", jnp.sinh)
+_unary("Cosh", jnp.cosh)
+_unary("Asinh", jnp.arcsinh)
+_unary("Acosh", jnp.arccosh)
+_unary("Atanh", jnp.arctanh)
+_unary("Softsign", lambda x: x / (1.0 + jnp.abs(x)))
+_unary("Mish", lambda x: x * jnp.tanh(jnp.logaddexp(x, 0.0)))
+_unary("IsInf", jnp.isinf)
+
+_reduce("ReduceLogSum",
+        lambda x, axis, keepdims: jnp.log(jnp.sum(x, axis=axis, keepdims=keepdims)))
+
+
+@register("Selu")
+def selu(ctx, x):
+    alpha = float(ctx.attrs.get("alpha", 1.67326319217681884765625))
+    gamma = float(ctx.attrs.get("gamma", 1.05070102214813232421875))
+    return gamma * jnp.where(x > 0, x, alpha * (jnp.exp(x) - 1.0))
+
+
+@register("Celu")
+def celu(ctx, x):
+    alpha = float(ctx.attrs.get("alpha", 1.0))
+    return jnp.maximum(x, 0) + jnp.minimum(0.0, alpha * (jnp.exp(x / alpha) - 1.0))
+
+
+@register("ThresholdedRelu")
+def thresholded_relu(ctx, x):
+    alpha = float(ctx.attrs.get("alpha", 1.0))
+    return jnp.where(x > alpha, x, 0.0)
+
+
+@register("Shrink")
+def shrink(ctx, x):
+    lambd = float(ctx.attrs.get("lambd", 0.5))
+    bias = float(ctx.attrs.get("bias", 0.0))
+    return jnp.where(x < -lambd, x + bias, jnp.where(x > lambd, x - bias, 0.0))
+
+
+@register("BitShift")
+def bit_shift(ctx, x, y):
+    d = ctx.attrs.get("direction", "LEFT")
+    if isinstance(d, bytes):
+        d = d.decode()
+    return jnp.left_shift(x, y) if d.upper() == "LEFT" else jnp.right_shift(x, y)
+
+
+@register("CumSum", static_inputs=(1,))
+def cumsum(ctx, x, axis):
+    ax = int(np.asarray(axis).reshape(-1)[0])
+    out = jnp.cumsum(jnp.flip(x, ax) if ctx.attrs.get("reverse", 0) else x, axis=ax)
+    if ctx.attrs.get("reverse", 0):
+        out = jnp.flip(out, ax)
+    if ctx.attrs.get("exclusive", 0):
+        out = out - (jnp.flip(x, ax) if ctx.attrs.get("reverse", 0) else x)
+    return out
+
+
+@register("Hardmax")
+def hardmax(ctx, x):
+    axis = int(ctx.attrs.get("axis", -1))
+    idx = jnp.argmax(x, axis=axis, keepdims=True)
+    return (jnp.arange(x.shape[axis]).reshape(
+        [-1 if i == axis % x.ndim else 1 for i in range(x.ndim)]) == idx
+    ).astype(x.dtype)
+
+
+@register("MeanVarianceNormalization")
+def mean_variance_normalization(ctx, x):
+    axes = tuple(int(a) for a in ctx.attrs.get("axes", [0, 2, 3]))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    std = jnp.sqrt(jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True))
+    return (x - mean) / (std + 1e-9)
+
+
+@register("LpNormalization")
+def lp_normalization(ctx, x):
+    axis = int(ctx.attrs.get("axis", -1))
+    p = int(ctx.attrs.get("p", 2))
+    if p == 1:
+        n = jnp.sum(jnp.abs(x), axis=axis, keepdims=True)
+    else:
+        n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, 1e-12)

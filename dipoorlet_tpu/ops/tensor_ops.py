@@ -356,3 +356,31 @@ def topk(ctx, x, k):
         vals = jnp.moveaxis(vals, -1, axis)
         idxs = jnp.moveaxis(idxs, -1, axis)
     return vals, idxs.astype(jnp.int64)
+
+
+@register("OneHot", static_inputs=(1,))
+def one_hot(ctx, indices, depth, values):
+    d = int(np.asarray(depth).reshape(-1)[0])
+    axis = int(ctx.attrs.get("axis", -1))
+    idx = indices.astype(jnp.int32)
+    idx = jnp.where(idx < 0, idx + d, idx)  # ONNX wraps negatives
+    import jax
+    oh = jax.nn.one_hot(idx, d, axis=axis, dtype=values.dtype)
+    off, on = values[0], values[1]
+    return oh * (on - off) + off
+
+
+@register("Trilu", static_inputs=(1,))
+def trilu(ctx, x, k=None):
+    kk = int(np.asarray(k).reshape(-1)[0]) if k is not None else 0
+    if ctx.attrs.get("upper", 1):
+        return jnp.triu(x, kk)
+    return jnp.tril(x, kk)
+
+
+@register("EyeLike")
+def eye_like(ctx, x):
+    k = int(ctx.attrs.get("k", 0))
+    from ..onnx_ir.helper import ONNX_TO_NP
+    dt = ONNX_TO_NP.get(ctx.attrs.get("dtype"), x.dtype)
+    return jnp.eye(x.shape[0], x.shape[1], k=k, dtype=dt)

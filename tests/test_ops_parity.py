@@ -241,3 +241,60 @@ def test_einsum(rng):
     b = rng.randn(2, 4, 5).astype(np.float32)
     got = run_op("Einsum", {"equation": b"bij,bjk->bik"}, a, b)
     assert_close(got, np.einsum("bij,bjk->bik", a, b), tol=1e-5)
+
+
+def test_long_tail_unary_vs_torch(rng):
+    """Round-3 ORT-breadth ops vs torch reference kernels."""
+    x = rng.randn(64).astype(np.float32) * 0.8
+    t = torch.from_numpy(x)
+    cases = {
+        "Selu": F.selu(t), "Celu": F.celu(t), "Mish": F.mish(t),
+        "Softsign": F.softsign(t), "Tan": torch.tan(t), "Atan": torch.atan(t),
+        "Sinh": torch.sinh(t), "Cosh": torch.cosh(t), "Asinh": torch.asinh(t),
+    }
+    for op, ref in cases.items():
+        assert_close(run_op(op, {}, x), ref.numpy(), tol=1e-4)
+    xs = np.abs(x) * 0.9  # domain-restricted
+    assert_close(run_op("Asin", {}, xs), np.arcsin(xs))
+    assert_close(run_op("Acos", {}, xs), np.arccos(xs))
+    assert_close(run_op("Atanh", {}, xs), np.arctanh(xs))
+    assert_close(run_op("Acosh", {}, 1.0 + xs), np.arccosh(1.0 + xs))
+    assert_close(run_op("ThresholdedRelu", {"alpha": 0.5}, x),
+                 F.threshold(t, 0.5, 0.0).numpy())
+    assert_close(run_op("Shrink", {"lambd": 0.5, "bias": 0.2}, x),
+                 np.where(x < -0.5, x + 0.2, np.where(x > 0.5, x - 0.2, 0.0)))
+
+
+def test_long_tail_structured(rng):
+    x = rng.randn(3, 5).astype(np.float32)
+    # CumSum: forward / exclusive / reverse
+    assert_close(run_op("CumSum", {}, x, np.int64([1])), np.cumsum(x, 1))
+    excl = run_op("CumSum", {"exclusive": 1}, x, np.int64([1]))
+    assert_close(excl[:, 0], np.zeros(3))
+    assert_close(excl[:, 1:], np.cumsum(x, 1)[:, :-1])
+    rev = run_op("CumSum", {"reverse": 1}, x, np.int64([1]))
+    assert_close(rev, np.cumsum(x[:, ::-1], 1)[:, ::-1])
+    # OneHot with off/on values and negative index wrap
+    oh = run_op("OneHot", {}, np.asarray([0, -1]), np.int64([4]),
+                np.asarray([2.0, 7.0], np.float32))
+    assert_close(oh, np.asarray([[7, 2, 2, 2], [2, 2, 2, 7]], np.float32))
+    # Trilu upper/lower with offset
+    m = np.arange(16, dtype=np.float32).reshape(4, 4)
+    assert_close(run_op("Trilu", {"upper": 1}, m, np.int64([1])), np.triu(m, 1))
+    assert_close(run_op("Trilu", {"upper": 0}, m, np.int64([-1])), np.tril(m, -1))
+    # Hardmax / LpNormalization / MVN / ReduceLogSum
+    assert_close(run_op("Hardmax", {"axis": 1}, x),
+                 (x == x.max(1, keepdims=True)).astype(np.float32))
+    assert_close(run_op("LpNormalization", {"axis": 1, "p": 2}, x),
+                 x / np.linalg.norm(x, axis=1, keepdims=True))
+    img = rng.randn(2, 3, 4, 4).astype(np.float32)
+    mvn = run_op("MeanVarianceNormalization", {}, img)
+    assert abs(mvn[:, 0].mean()) < 1e-5 and abs(mvn[:, 0].std() - 1) < 1e-4
+    pos = np.abs(x) + 0.1
+    assert_close(run_op("ReduceLogSum", {"axes": [1], "keepdims": 0}, pos),
+                 np.log(pos.sum(1)))
+    assert_close(run_op("EyeLike", {"k": 1}, np.zeros((3, 4), np.float32)),
+                 np.eye(3, 4, k=1, dtype=np.float32))
+    assert_close(run_op("BitShift", {"direction": "RIGHT"},
+                        np.asarray([8, 9], np.int32), np.asarray([2, 1], np.int32)),
+                 np.asarray([2, 4], np.int32))

@@ -36,6 +36,7 @@ N_CLASSES = 20
 CONFIGS = [
     ("int8 minmax", ["-A", "minmax"]),  # CLI default is mse (reference parity)
     ("int8 hist", ["-A", "hist"]),
+    ("int8 kl", ["-A", "kl"]),
     ("int8 mse (OCTAV)", ["-A", "mse"]),
     ("w4a8 naive", ["--w_bit", "4"]),
     ("w4a8 AdaRound", ["--w_bit", "4", "--adaround"]),
