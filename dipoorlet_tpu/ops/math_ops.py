@@ -318,3 +318,11 @@ def lp_normalization(ctx, x):
     else:
         n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
     return x / jnp.maximum(n, 1e-12)
+
+
+@register("Einsum")
+def einsum(ctx, *inputs):
+    eq = ctx.attrs.get("equation")
+    if isinstance(eq, bytes):
+        eq = eq.decode()
+    return jnp.einsum(eq, *inputs)

@@ -8,7 +8,7 @@ fake-quants activations inside the block with drop ratio 0.5."""
 from __future__ import annotations
 
 
-import numpy as np
+
 
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger

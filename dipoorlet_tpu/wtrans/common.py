@@ -17,9 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..graph.graph import GraphIR, INPUT_TOKEN, OUTPUT_TOKEN, node_attrs
+from ..graph.graph import GraphIR, node_attrs
 from ..ops import OP_REGISTRY, OpContext
-from ..quant.platform import platform_setting_table
 from ..quant.qparams import compute_qparams
 from ..quant.quant_graph import DQ_SUFFIX
 from ..runtime.data import CalibDataset

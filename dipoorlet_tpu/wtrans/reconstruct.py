@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache, partial
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 import jax

@@ -298,3 +298,12 @@ def test_long_tail_structured(rng):
     assert_close(run_op("BitShift", {"direction": "RIGHT"},
                         np.asarray([8, 9], np.int32), np.asarray([2, 1], np.int32)),
                  np.asarray([2, 4], np.int32))
+
+
+def test_einsum(rng):
+    a = rng.randn(2, 3, 4).astype(np.float32)
+    b = rng.randn(2, 4, 5).astype(np.float32)
+    assert_close(run_op("Einsum", {"equation": b"bij,bjk->bik"}, a, b),
+                 np.einsum("bij,bjk->bik", a, b))
+    assert_close(run_op("Einsum", {"equation": "ii->i"},
+                        np.eye(3, dtype=np.float32) * 2), np.full(3, 2.0))

@@ -272,7 +272,15 @@ def main():
     fname = (f"accuracy_{args.model}_hot{args.corrupt_calib}x"
              f"{int(args.corrupt_amp)}.json" if args.corrupt_calib
              else f"accuracy_{args.model}.json")
-    with open(os.path.join(ROOT, "docs", fname), "w") as f:
+    path = os.path.join(ROOT, "docs", fname)
+    if os.path.exists(path):
+        # partial (--configs-filtered) runs merge into the existing table
+        # instead of clobbering it; re-run rows replace by config name
+        prior = json.load(open(path))
+        newer = {r["config"] for r in result["rows"]}
+        result["rows"] = [r for r in prior.get("rows", [])
+                          if r["config"] not in newer] + result["rows"]
+    with open(path, "w") as f:
         json.dump(result, f, indent=2)
     write_markdown(result)
     print(json.dumps(result))
