@@ -257,7 +257,7 @@ class ActivationProvider:
             self._fns[key] = self.ex.make_batched(taps=tensor_names,
                                                   tap_transform=tap_tx, outputs=())
         fn = self._fns[key]
-        sums = {n: 0.0 for n in tensor_names}
+        acc = None  # device-resident running sums; ONE packed fetch per pass
         count = 0
         for idx in self._iter_batches():
             batch = self.dataset.load_batch(idx)
@@ -268,10 +268,19 @@ class ActivationProvider:
                     [v, np.repeat(v[-1:], self.batch_size - n_valid, axis=0)], axis=0)
                     for k, v in batch.items()}
             _, taps = fn(self.params, self._place(batch))
-            for n in tensor_names:
-                sums[n] = sums[n] + np.asarray(jax.device_get(
-                    jnp.sum(taps[n][:n_valid], axis=0)))
+            upd = [jnp.sum(taps[n][:n_valid], axis=0).ravel() for n in tensor_names]
+            upd = jnp.concatenate(upd) if len(upd) > 1 else upd[0]
+            acc = upd if acc is None else acc + upd
             count += n_valid
+        # a blocking device_get per (tensor, batch) cost ~15-25 ms each over
+        # the remote relay (53-conv BC measured 11 s/node); the packed
+        # device-side accumulator fetches once per pass instead
+        flat = np.asarray(jax.device_get(acc), np.float64)
+        sums, off = {}, 0
+        for n in tensor_names:
+            size = int(np.prod(taps[n].shape[1:])) if taps[n].ndim > 1 else 1
+            sums[n] = flat[off:off + size]
+            off += size
         if jax.process_count() > 1:
             # multi-host: reduce the sufficient statistics across processes
             # so every rank derives the SAME mean from ALL shards (the

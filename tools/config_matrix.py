@@ -116,12 +116,18 @@ def main():
                      "flags": " ".join(extra), "wall_s": wall,
                      "artifacts_ok": not missing, "missing": missing}
         log(f"=== {cid}: {wall}s, artifacts_ok={not missing}")
-        with open(os.path.join(ROOT, "docs", "CONFIG_MATRIX.json"), "w") as f:
+        path = os.path.join(ROOT, "docs", "CONFIG_MATRIX.json")
+        merged = dict(rows)
+        if os.path.exists(path):
+            # partial (--only) runs merge into the recorded matrix
+            prior = json.load(open(path)).get("rows", {})
+            merged = {**prior, **rows}
+        with open(path, "w") as f:
             json.dump({"note": "BASELINE.json config list through the "
                                "production CLI; reconstruction at bench scale "
                                f"(16 samples, {ep} epochs)",
                        "backend": "cpu" if args.cpu else "tpu",
-                       "rows": rows}, f, indent=2)
+                       "rows": merged}, f, indent=2)
     print(json.dumps(rows))
 
 
