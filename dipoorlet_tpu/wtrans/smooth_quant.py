@@ -102,13 +102,21 @@ def _collect_act_amax(graph: GraphIR, tensors: List[str], args) -> Dict[str, np.
         return jnp.max(a, axis=tuple(range(a.ndim - 1))) if a.ndim > 1 else a
 
     fn = ex.make_batched(taps=tensors, tap_transform=amax_last, outputs=())
-    acc: Dict[str, np.ndarray] = {}
     bs = getattr(args, "batch_size", 16)
+    acc_d = None  # device-resident running max; one packed fetch at the end
+    sizes = None
     for idx in dataset.iter_batches(bs):
         _, taps = fn(params, dataset.load_batch(idx))
-        for name in tensors:
-            cur = np.asarray(jax.device_get(jnp.max(taps[name], axis=0)))
-            acc[name] = np.maximum(acc[name], cur) if name in acc else cur
+        upd = [jnp.max(taps[n], axis=0).ravel() for n in tensors]
+        sizes = [int(u.size) for u in upd]
+        upd = jnp.concatenate(upd) if len(upd) > 1 else upd[0]
+        acc_d = upd if acc_d is None else jnp.maximum(acc_d, upd)
+    flat = np.asarray(jax.device_get(acc_d))
+    acc: Dict[str, np.ndarray] = {}
+    off = 0
+    for n, size in zip(tensors, sizes):
+        acc[n] = flat[off:off + size]
+        off += size
     return acc
 
 
