@@ -59,10 +59,10 @@ def update_bn(graph: GraphIR, act_clip_val, weight_clip_val, args):
             batch = q_provider.dataset.load_batch(idx)
             _, taps = fn(q_provider.params, batch)
             m, s = taps[in_tensor]
-            means.append(np.asarray(m))
-            stds.append(np.asarray(s))
-        means = np.concatenate(means, axis=0)
-        stds = np.concatenate(stds, axis=0)
+            means.append(m)  # stay on device; one packed fetch below
+            stds.append(s)
+        means, stds = (np.asarray(a) for a in jax.device_get(
+            (jnp.concatenate(means, axis=0), jnp.concatenate(stds, axis=0))))
         if jax.process_count() > 1:
             # multi-host: gather every rank's per-sample stats (equal-size
             # contiguous shards, so rank-major concatenation IS the global
