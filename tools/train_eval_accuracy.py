@@ -167,12 +167,15 @@ def main():
     p.add_argument("--corrupt_amp", type=float, default=60.0)
     args = p.parse_args()
 
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
     elif os.environ.get("JAX_PLATFORMS") == "axon":
-        import jax
         jax.config.update("jax_platforms", "axon,cpu")
+    # top-1 measurement must not be perturbed by TPU's default bf16 matmul
+    # precision: an under-trained model (regnet@1500 steps) lost 7.7% top-1
+    # to it.  Slower, but this tool measures accuracy, not throughput.
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     import torch
     from torch_export import export
