@@ -152,30 +152,35 @@ def _learn_sparse(spec, q_in, fp_out, batch_size, max_epoch, sparse_info,
             out = jnp.maximum(out, 0)
         return out
 
-    def body(carry, it):
-        w, opt_state = carry
-        b_idx = it % n_batches
-        x = jax.lax.dynamic_index_in_dim(q_in_d, b_idx, keepdims=False)
-        tgt = jax.lax.dynamic_index_in_dim(fp_out_d, b_idx, keepdims=False)
-        vw = jax.lax.dynamic_index_in_dim(valid, b_idx, keepdims=False)
-
-        def loss_fn(w):
-            out = forward(w, x)
-            se = jnp.sum(jnp.square(out - tgt), axis=1)
-            wgt = vw.reshape((-1,) + (1,) * (se.ndim - 1))
-            return jnp.sum(se * wgt) / jnp.maximum(jnp.sum(vw) * np.prod(se.shape[1:]), 1.0)
-
-        loss, grads = jax.value_and_grad(loss_fn)(w)
-        updates, opt_state = tx.update(grads, opt_state, w)
-        w = optax.apply_updates(w, updates)
-        return (w, opt_state), loss
-
     @jax.jit
-    def train(w, opt_state):
-        (w, opt_state), losses = jax.lax.scan(body, (w, opt_state), jnp.arange(total_iter))
+    def train(w, opt_state, q_in_d, fp_out_d, valid):
+        # data arrive as jit ARGUMENTS (never closed over): under multi-host
+        # they are global arrays spanning non-addressable devices, which jit
+        # only accepts as inputs
+        def body(carry, it):
+            w, opt_state = carry
+            b_idx = it % n_batches
+            x = jax.lax.dynamic_index_in_dim(q_in_d, b_idx, keepdims=False)
+            tgt = jax.lax.dynamic_index_in_dim(fp_out_d, b_idx, keepdims=False)
+            vw = jax.lax.dynamic_index_in_dim(valid, b_idx, keepdims=False)
+
+            def loss_fn(w):
+                out = forward(w, x)
+                se = jnp.sum(jnp.square(out - tgt), axis=1)
+                wgt = vw.reshape((-1,) + (1,) * (se.ndim - 1))
+                return jnp.sum(se * wgt) / jnp.maximum(
+                    jnp.sum(vw) * np.prod(se.shape[1:]), 1.0)
+
+            loss, grads = jax.value_and_grad(loss_fn)(w)
+            updates, opt_state = tx.update(grads, opt_state, w)
+            w = optax.apply_updates(w, updates)
+            return (w, opt_state), loss
+
+        (w, opt_state), losses = jax.lax.scan(body, (w, opt_state),
+                                              jnp.arange(total_iter))
         return w, losses
 
-    w_fin, losses = train(w0, opt_state)
+    w_fin, losses = train(w0, opt_state, q_in_d, fp_out_d, valid)
     if multihost:
         # replicated over the global mesh; pull to host for local finishing
         w_fin = jnp.asarray(np.asarray(jax.device_get(w_fin)))

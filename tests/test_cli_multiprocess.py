@@ -198,3 +198,41 @@ def test_two_process_cli_reconstruction_rank_identical(tiny_workload, tmp_path):
             # agreement of the discretized weights
             agree = np.mean(np.isclose(a, b, rtol=1e-4, atol=1e-6))
             assert agree >= 0.99, (artifact, name, agree)
+
+
+def test_two_process_cli_sparse_rank_identical(tiny_workload, tmp_path):
+    """The sparse-quant trainer also rides the global-mesh SPMD path; the
+    in-run crc32 check enforces rank identity and the saved weights carry
+    the requested sparsity."""
+    base, model_path, data_dir = tiny_workload
+    flags = ["--sparse", "--sparse_rate", "0.5", "--ada_epoch", "4",
+             "--ada_bs", "4"]
+    out_multi = tmp_path / "multi_sparse"
+    job_id = str(12000 + os.getpid() % 1000)
+    procs = []
+    for rank in range(2):
+        procs.append(_run_cli(model_path, data_dir, out_multi, ["--slurm"] + flags, {
+            "SLURM_JOB_ID": job_id,
+            "SLURM_STEP_NODELIST": "localhost",
+            "SLURM_NTASKS": "2",
+            "SLURM_PROCID": str(rank),
+            "SLURM_LOCALID": str(rank),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        }, timeout=600))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("2-process sparse CLI hung:\n" + "\n".join(o or "" for o in outs))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    from dipoorlet_tpu.graph import GraphIR
+    g = GraphIR.load(str(out_multi / "sparse_quant.onnx"))
+    for name in ("w1", "w2"):
+        w = g.initializer[name]
+        frac_zero = float((w == 0).mean())
+        assert frac_zero >= 0.45, (name, frac_zero)
