@@ -72,7 +72,10 @@ def roi_align(ctx, x, rois, batch_indices):
     mode = ctx.attrs.get("mode", "avg")
     if isinstance(mode, bytes):
         mode = mode.decode()
-    ctm = ctx.attrs.get("coordinate_transformation_mode", "half_pixel")
+    # The attr only exists from opset 16; older exports (torchvision
+    # aligned=False) have NO half-pixel offset in ORT, so a missing attr
+    # must default to output_half_pixel (offset 0), not half_pixel.
+    ctm = ctx.attrs.get("coordinate_transformation_mode", "output_half_pixel")
     if isinstance(ctm, bytes):
         ctm = ctm.decode()
     offset = 0.5 if ctm == "half_pixel" else 0.0
@@ -113,7 +116,7 @@ def _iou_matrix(boxes):
     return jnp.where(union > 0, inter / union, 0.0)
 
 
-def _nms_class(iou, scores, max_out, iou_th, score_th):
+def _nms_class(iou, scores, max_out, iou_th, score_th, idx_dtype):
     """Greedy NMS for one (batch, class): returns (max_out,) box ids, -1 pad."""
     suppressed = ~(scores > score_th)
 
@@ -127,7 +130,7 @@ def _nms_class(iou, scores, max_out, iou_th, score_th):
         suppressed = suppressed | (kill & ok)
         return sel, suppressed
 
-    sel0 = jnp.full((max_out,), -1, jnp.int64)
+    sel0 = jnp.full((max_out,), -1, idx_dtype)
     sel, _ = lax.fori_loop(0, max_out, body, (sel0, suppressed))
     return sel
 
@@ -147,16 +150,24 @@ def non_max_suppression(ctx, boxes, scores, max_output_boxes_per_class=None,
         xc, yc, w, h = (boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3])
         boxes = jnp.stack([yc - h / 2, xc - w / 2, yc + h / 2, xc + w / 2], axis=-1)
     b, c, n = scores.shape
-    max_out = min(max_out, n) if max_out else n
+    # Selected-index dtype: ONNX says int64; under the default
+    # jax_enable_x64=False JAX silently computes in int32, which is fine
+    # for any real box count — made explicit here rather than implied.
+    idx_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    if max_out == 0:
+        # ONNX: max_output_boxes_per_class=0 (or absent) means "output no
+        # boxes" (ai.onnx NonMaxSuppression spec), not "all boxes".
+        return jnp.zeros((0, 3), idx_dtype)
+    max_out = min(max_out, n)
 
     iou = jax.vmap(_iou_matrix)(boxes)                       # (B, N, N)
     sel = jax.vmap(                                          # over batches
         lambda io, sc: jax.vmap(                             # over classes
-            lambda s: _nms_class(io, s, max_out, iou_th, score_th))(sc)
+            lambda s: _nms_class(io, s, max_out, iou_th, score_th, idx_dtype))(sc)
     )(iou, scores)                                           # (B, C, max_out)
 
-    bi = jnp.tile(jnp.arange(b, dtype=jnp.int64)[:, None, None], (1, c, max_out))
-    ci = jnp.tile(jnp.arange(c, dtype=jnp.int64)[None, :, None], (b, 1, max_out))
+    bi = jnp.tile(jnp.arange(b, dtype=idx_dtype)[:, None, None], (1, c, max_out))
+    ci = jnp.tile(jnp.arange(c, dtype=idx_dtype)[None, :, None], (b, 1, max_out))
     invalid = sel < 0
     out = jnp.stack([jnp.where(invalid, -1, bi),
                      jnp.where(invalid, -1, ci),

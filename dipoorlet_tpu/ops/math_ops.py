@@ -288,7 +288,10 @@ def cumsum(ctx, x, axis):
     if ctx.attrs.get("reverse", 0):
         out = jnp.flip(out, ax)
     if ctx.attrs.get("exclusive", 0):
-        out = out - (jnp.flip(x, ax) if ctx.attrs.get("reverse", 0) else x)
+        # `out` is back in the original orientation at this point, so the
+        # exclusive correction subtracts x as-is for BOTH directions:
+        # reverse+exclusive([1,2,3]) = [6,5,3] - [1,2,3] = [5,3,0].
+        out = out - x
     return out
 
 

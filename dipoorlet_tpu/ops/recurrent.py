@@ -18,6 +18,10 @@ from .registry import register
 
 
 def _check_plain(ctx, default_acts):
+    if int(ctx.attrs.get("layout", 0)):
+        raise NotImplementedError(
+            "RNN layout=1 (batch-major) is not supported; re-export the "
+            "model with the default seq-major layout 0")
     acts = ctx.attrs.get("activations")
     if acts:
         names = [a.decode().lower() if isinstance(a, bytes) else str(a).lower()

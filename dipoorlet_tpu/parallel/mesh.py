@@ -98,13 +98,19 @@ def assert_rank_identical(graph, tag: str) -> None:
 def allreduce_sum_arrays(arrays):
     """Element-wise sum of a list of equal-shape float arrays across
     processes (flattened into ONE allgather round-trip).  Identity
-    single-process."""
+    single-process.
+
+    The per-rank payload transits the collective as float32 (JAX
+    downcasts f64 device arrays unless jax_enable_x64 is on), but the
+    cross-rank SUM itself is done on host in np.float64 so the
+    accumulated BC/BN sufficient statistics don't lose precision as the
+    process count grows."""
     if jax.process_count() == 1:
         return [np.asarray(a) for a in arrays]
     from jax.experimental import multihost_utils
-    flat = np.concatenate([np.asarray(a, np.float64).ravel() for a in arrays])
-    summed = np.asarray(
-        multihost_utils.process_allgather(jnp.asarray(flat))).sum(axis=0)
+    flat = np.concatenate([np.asarray(a, np.float32).ravel() for a in arrays])
+    gathered = multihost_utils.process_allgather(jnp.asarray(flat))  # (P, N) f32
+    summed = np.asarray(gathered, np.float64).sum(axis=0)
     out, off = [], 0
     for a in arrays:
         a = np.asarray(a)

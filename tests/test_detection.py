@@ -121,11 +121,53 @@ def test_roi_align_matches_oracle():
                      [2.5, 3.5, 5.0, 6.0]], np.float32)
     bi = np.array([0, 1, 0], np.int64)
     ctx = OpContext({"output_height": 3, "output_width": 2, "sampling_ratio": 2,
-                     "spatial_scale": 0.5, "mode": "avg"})
+                     "spatial_scale": 0.5, "mode": "avg",
+                     "coordinate_transformation_mode": "half_pixel"})
     out = np.asarray(OP_REGISTRY["RoiAlign"](ctx, jnp.asarray(x), jnp.asarray(rois),
                                              jnp.asarray(bi)))
     want = _roi_align_oracle(x, rois, bi, 3, 2, 2, 0.5)
     np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_opset10_default_has_no_offset():
+    """A model without coordinate_transformation_mode (opset<16 export)
+    must sample WITHOUT the -0.5 shift (ORT aligned=False semantics):
+    a whole-image roi then reproduces the feature map at identity scale."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(1, 2, 4, 4).astype(np.float32)
+    rois = np.array([[0.0, 0.0, 4.0, 4.0]], np.float32)
+    bi = np.array([0], np.int64)
+    ctx = OpContext({"output_height": 4, "output_width": 4, "sampling_ratio": 1,
+                     "spatial_scale": 1.0})
+    out = np.asarray(OP_REGISTRY["RoiAlign"](ctx, jnp.asarray(x), jnp.asarray(rois),
+                                             jnp.asarray(bi)))
+    # grid points land at pixel centers 0.5,1.5,2.5,3.5 -> bilinear between
+    # neighbours; at sampling_ratio=1 each output bin samples its centre.
+    gy = np.arange(4) + 0.5 - 0.0  # no -0.5 offset
+    vals = np.zeros_like(out)
+    for oy in range(4):
+        for ox in range(4):
+            y = min(gy[oy], 3.0); xx = min(gy[ox], 3.0)
+            y0, x0 = int(y), int(xx)
+            y1, x1 = min(y0 + 1, 3), min(x0 + 1, 3)
+            ly, lx = y - y0, xx - x0
+            vals[0, :, oy, ox] = (x[0, :, y0, x0] * (1 - ly) * (1 - lx)
+                                  + x[0, :, y0, x1] * (1 - ly) * lx
+                                  + x[0, :, y1, x0] * ly * (1 - lx)
+                                  + x[0, :, y1, x1] * ly * lx)
+    np.testing.assert_allclose(out, vals, rtol=1e-4, atol=1e-5)
+
+
+def test_nms_zero_max_output_means_no_boxes():
+    """ONNX: max_output_boxes_per_class=0 (the default) selects NOTHING."""
+    boxes = np.random.RandomState(0).rand(1, 5, 4).astype(np.float32)
+    scores = np.random.RandomState(1).rand(1, 2, 5).astype(np.float32)
+    fn = OP_REGISTRY["NonMaxSuppression"]
+    out = np.asarray(fn(OpContext({}), jnp.asarray(boxes), jnp.asarray(scores),
+                        np.int64([0]), np.float32([0.5]), np.float32([0.0])))
+    assert out.shape == (0, 3)
+    out = np.asarray(fn(OpContext({}), jnp.asarray(boxes), jnp.asarray(scores)))
+    assert out.shape == (0, 3)
 
 
 # ---------------------------------------------------------------------------

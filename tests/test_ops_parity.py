@@ -274,6 +274,10 @@ def test_long_tail_structured(rng):
     assert_close(excl[:, 1:], np.cumsum(x, 1)[:, :-1])
     rev = run_op("CumSum", {"reverse": 1}, x, np.int64([1]))
     assert_close(rev, np.cumsum(x[:, ::-1], 1)[:, ::-1])
+    # reverse+exclusive together (round-4 advisor fix): suffix-sum of the
+    # elements strictly AFTER each position, e.g. [1,2,3] -> [5,3,0]
+    rev_ex = run_op("CumSum", {"reverse": 1, "exclusive": 1}, x, np.int64([1]))
+    assert_close(rev_ex, np.cumsum(x[:, ::-1], 1)[:, ::-1] - x)
     # OneHot with off/on values and negative index wrap
     oh = run_op("OneHot", {}, np.asarray([0, -1]), np.int64([4]),
                 np.asarray([2.0, 7.0], np.float32))

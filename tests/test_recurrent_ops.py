@@ -149,3 +149,16 @@ def test_lstm_in_graph_executes():
     ex = Executor(g)
     out, _ = ex.forward(ex.init_params(), {"x": rng.randn(t, 1, inp).astype(np.float32)})
     assert out["feat"].shape == (1, hid)
+
+
+def test_rnn_layout1_raises():
+    """layout=1 (batch-major) is out of contract and must raise, not
+    silently misinterpret the tensor as seq-major (round-4 advisor fix)."""
+    import pytest
+    x = jnp.zeros((2, 3, 4))
+    w = jnp.zeros((1, 16, 4)); r = jnp.zeros((1, 16, 4))
+    with pytest.raises(NotImplementedError, match="layout"):
+        OP_REGISTRY["LSTM"](OpContext({"hidden_size": 4, "layout": 1}), x, w, r)
+    wg = jnp.zeros((1, 12, 4)); rg = jnp.zeros((1, 12, 4))
+    with pytest.raises(NotImplementedError, match="layout"):
+        OP_REGISTRY["GRU"](OpContext({"hidden_size": 4, "layout": 1}), x, wg, rg)
