@@ -331,8 +331,18 @@ class StatsRunner:
         return out, valid
 
     def _batches(self, dataset, batch_size, start, end, place=True):
-        for idx in dataset.iter_batches(batch_size, start, end):
-            batch, valid = self._pad_batch(dataset.load_batch(idx), batch_size)
+        # stream_batches overlaps batch N+1's disk reads with batch N's
+        # device compute (C++ double-buffered prefetcher) — this is the
+        # hot path for shards over DEVICE_RESIDENT_BYTES, where data
+        # streams through instead of living in HBM.
+        stream = getattr(dataset, "stream_batches", None)
+        if stream is not None:
+            it = stream(batch_size, start, end)
+        else:
+            it = ((idx, dataset.load_batch(idx))
+                  for idx in dataset.iter_batches(batch_size, start, end))
+        for idx, raw in it:
+            batch, valid = self._pad_batch(raw, batch_size)
             batch = self._cast_batch(self._stack(batch))
             if place:
                 batch = self._place(batch)

@@ -232,19 +232,6 @@ class GraphIR:
     def remove_node_purely(self, node: NodeProto):
         self.graph.node.remove(node)
 
-    def insert_qnodes_purely(self, q_nodes: GraphProto, idx: int = 0, node: Optional[NodeProto] = None):
-        """Insert a (Quant, Dequant) subgraph before `node` (or at idx)."""
-        if node is not None:
-            idx = self.index(node)
-        for n in reversed(list(q_nodes.node)):
-            self.graph.node.insert(idx, n)
-        for init in q_nodes.initializer:
-            self.graph.initializer.append(init)
-            self.initializer[init.name] = tensor_to_array(init)
-            self._init_proto_idx[init.name] = len(self.graph.initializer) - 1
-            self.tensor_name_shape_map[init.name] = list(init.dims)
-        self.set_index()
-
     def del_network_output(self, name: str):
         idx = self.network_outputs.index(name)
         del self.graph.output[idx]

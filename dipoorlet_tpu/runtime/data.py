@@ -8,18 +8,9 @@ batch) instead of the reference's one-sample-at-a-time feed."""
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
-
-
-def input_data_generator(input_dir: str, input_name_list: Sequence[str],
-                         data_st_idx: int, data_ed_idx: int) -> Iterator[Dict[str, np.ndarray]]:
-    for idx in range(data_st_idx, data_ed_idx):
-        data = {}
-        for name in input_name_list:
-            data[name] = np.fromfile(os.path.join(input_dir, name, f"{idx}.bin"), dtype=np.float32)
-        yield data
 
 
 class CalibDataset:
@@ -62,6 +53,45 @@ class CalibDataset:
         end = self.num if end is None else end
         for st in range(start, end, batch_size):
             yield list(range(st, min(st + batch_size, end)))
+
+    def stream_batches(self, batch_size: int, start: int = 0, end: int = None):
+        """Yield (indices, {name: (B, *shape)}) batches with the NEXT
+        batch's disk reads overlapped with the caller's compute.
+
+        This is the large-dataset path (shards over the device-resident
+        budget stream per batch, stats.py): the C++ double-buffered
+        prefetcher (native/dataloader.cpp dl_prefetch_*) reads batch N+1
+        on its own threads while JAX dispatches batch N.  Falls back to
+        synchronous load_batch when the native loader is unavailable.
+        Reference analogue: the per-sample streaming loop at
+        forward_net.py:207-235, which never overlaps IO with compute."""
+        end = self.num if end is None else end
+        indices = list(range(start, end))
+        if not indices:
+            return
+        from .native_loader import NativePrefetcher, get_lib
+        if get_lib() is None:
+            for idx in self.iter_batches(batch_size, start, end):
+                yield idx, self.load_batch(idx)
+            return
+        prefetchers = {
+            name: NativePrefetcher(self.input_dir, name, shape, indices, batch_size)
+            for name, shape in self.input_shapes.items()}
+        try:
+            for off in range(0, len(indices), batch_size):
+                chunk = indices[off:off + batch_size]
+                batch = {}
+                for name, pf in prefetchers.items():
+                    arr = next(pf)
+                    if arr.shape[0] != len(chunk):
+                        raise IOError(
+                            f"prefetcher for {name} returned {arr.shape[0]} "
+                            f"samples, expected {len(chunk)}")
+                    batch[name] = arr
+                yield chunk, batch
+        finally:
+            for pf in prefetchers.values():
+                pf.close()
 
 
 def save_sample(input_dir: str, name: str, idx: int, arr: np.ndarray):
