@@ -25,6 +25,11 @@ _ENV_VARS = {
     "pallas_hist": "DIPOORLET_TPU_PALLAS_HIST",
 }
 
+# string-valued tuning choices (e.g. kernel config), env-overridable
+_VALUE_ENV_VARS = {
+    "pallas_hist_cfg": "DIPOORLET_TPU_PALLAS_HIST_CFG",
+}
+
 # A probe that compiles+runs slower than this is recorded as disabled:
 # the fast path would cost more in one-time compile than it saves.
 BUDGET_S = {"pallas_octav": 120.0, "scan_calib": 180.0, "pallas_hist": 240.0}
@@ -91,6 +96,27 @@ def record(feature: str, enabled: bool, seconds: float, note: str = "",
     """Record a probe outcome observed in situ (used by the scan path,
     whose first real compile IS the probe)."""
     _store(_key(feature, subkey), enabled, seconds, note)
+
+
+def cached_value(feature: str, subkey: str = ""):
+    """String-valued tuning choice (kernel config): env override, then the
+    cached probe result's note field; None if never probed."""
+    env = os.environ.get(_VALUE_ENV_VARS.get(feature, ""), None)
+    if env:
+        return env
+    key = _key(feature, subkey)
+    if key in _mem_cache:
+        return _mem_cache[key]
+    rec = _load().get(key)
+    if rec is not None:
+        _mem_cache[key] = rec.get("note") or None
+        return _mem_cache[key]
+    return None
+
+
+def record_value(feature: str, value: str, seconds: float, subkey: str = ""):
+    _store(_key(feature, subkey), True, seconds, value)
+    _mem_cache[_key(feature, subkey)] = value  # _store caches the bool; keep the string
 
 
 def pallas_octav_enabled() -> bool:
@@ -173,9 +199,24 @@ def pallas_hist_enabled(bins: int = 2048) -> bool:
         rng = np.random.RandomState(0)
         idx = jnp.asarray(rng.randint(0, bins, n).astype(np.int32))
 
-        h_pl = jax.device_get(histogram_pallas(idx, bins))
         h_x = jax.device_get(jax.jit(lambda v: matmul_histogram(v, bins))(idx))
-        ok = bool((np.asarray(h_pl) == np.asarray(h_x)).all())
+
+        # candidate (variant, lo_n) kernel configs: the digit split trades
+        # VPU one-hot cost (hi_n + lo_n) against MXU stream cycles (~hi_n
+        # per 128-element contraction), so the optimum is chip-dependent
+        lo_opts = sorted({lo for lo in (32, 64, 128, 256) if lo <= max(bins, 32)})
+        cfgs = [(var, lo) for var in ("i8", "i16", "bf16") for lo in lo_opts]
+        errs = []
+        oks = {}
+        for var, lo in cfgs:
+            try:
+                h_pl = jax.device_get(
+                    histogram_pallas(idx, bins, variant=var, lo_n=lo))
+                oks[(var, lo)] = bool((np.asarray(h_pl) == np.asarray(h_x)).all())
+            except Exception as e:
+                oks[(var, lo)] = False
+                errs.append(f"{var}:{lo} {type(e).__name__}")
+        ok = any(oks.values())
         compile_s = time.time() - t0
 
         def loop(hist_fn):
@@ -184,20 +225,32 @@ def pallas_hist_enabled(bins: int = 2048) -> bool:
                 return acc + hist_fn((idx + i) % bins, bins)
             return jax.lax.fori_loop(0, reps, body, jnp.zeros(bins, jnp.int32))
 
+        def race(fn):
+            f = jax.jit(lambda: loop(fn))
+            jax.block_until_ready(f())
+            t1 = time.time(); jax.block_until_ready(f()); return time.time() - t1
+
         t_pl = t_x = 0.0
+        t_cfg = {}
+        best = None
         if ok:
-            f_pl = jax.jit(lambda: loop(histogram_pallas))
-            f_x = jax.jit(lambda: loop(matmul_histogram))
-            jax.block_until_ready(f_pl())
-            jax.block_until_ready(f_x())
-            t1 = time.time(); jax.block_until_ready(f_pl()); t_pl = time.time() - t1
-            t1 = time.time(); jax.block_until_ready(f_x()); t_x = time.time() - t1
+            t_x = race(matmul_histogram)
+            for cfg in cfgs:
+                if oks[cfg]:
+                    t_cfg[cfg] = race(lambda v, b, _c=cfg: histogram_pallas(
+                        v, b, variant=_c[0], lo_n=_c[1]))
+            best = min(t_cfg, key=t_cfg.get)
+            t_pl = t_cfg[best]
         dt = time.time() - t0
         enabled = ok and compile_s <= BUDGET_S["pallas_hist"] and t_pl <= t_x
-        record("pallas_hist", enabled, dt,
-               f"warm 64x{n >> 20}M-elem @ {bins} bins: pallas {t_pl:.3f}s "
-               f"vs xla {t_x:.3f}s"
-               if ok else "count mismatch vs matmul_histogram", subkey=subkey)
+        note = (f"warm {reps}x{n >> 20}M-elem @ {bins} bins: "
+                + " ".join(f"{v}:{lo}={t:.3f}s" for (v, lo), t in sorted(t_cfg.items()))
+                + f" vs xla {t_x:.3f}s" + (f"; failed: {errs}" if errs else "")
+                if ok else f"count mismatch vs matmul_histogram ({errs})")
+        record("pallas_hist", enabled, dt, note, subkey=subkey)
+        if best is not None:
+            record_value("pallas_hist_cfg", f"{best[0]}:{best[1]}", dt,
+                         subkey=subkey)
         return enabled
     except Exception as e:  # Mosaic compile failure, relay error, ...
         record("pallas_hist", False, time.time() - t0,

@@ -106,45 +106,90 @@ def octav_fits_vmem(shape) -> bool:
 
 
 # -- histogram ---------------------------------------------------------------
-# 8192 elements per grid step; the in-kernel transposed one-hots are
-# (hi_n, 8192) + (lo_n, 8192) int8 ~= 1.2MB of VMEM for bins=2048.
-HIST_BLOCK = 8192
+# VMEM budget for the in-kernel transposed one-hot temporaries; the block
+# length adapts so (hi_n + lo_n) rows x block x dtype stays under it.
+HIST_ONEHOT_VMEM = 6 << 20
 
 
-def _hist_kernel(idx_ref, out_ref, *, hi_n, lo_n):
+def _digit_split(bins: int, lo_n: int = None):
+    """(hi_n, lo_n) digit split with hi_n * lo_n >= bins.
+
+    The split is the kernel's speed dial, trading VPU against MXU:
+    one-hot construction costs ~2*(hi_n + lo_n) VPU lane-ops/element,
+    while the joint-count matmul (hi_n, E)@(E, lo_n) streams ~hi_n/128
+    MXU cycles per element (the contraction dim E is consumed 128/cycle).
+    Small hi_n starves the VPU budget (lo_n grows), large hi_n starves
+    the MXU — the optimum is chip-dependent, so production resolves lo_n
+    from the autotune probe (pallas_hist_cfg) rather than a formula."""
+    if lo_n is None:
+        lo = 1
+        while lo * lo < bins:
+            lo *= 2
+        lo_n = lo
+    lo_n = min(lo_n, bins)
+    return -(-bins // lo_n), lo_n
+
+
+def _hist_block(rows: int, dtype_bytes: int) -> int:
+    c = HIST_ONEHOT_VMEM // (rows * dtype_bytes)
+    return int(np.clip(c // 512 * 512, 4096, 65536))
+
+
+def _hist_kernel(idx_ref, out_ref, *, hi_n, lo_n, oh_dtype):
     """One grid step: exact (hi_n, lo_n) count matrix of a chunk of bucket
     indices, accumulated across the sequential grid into the VMEM-resident
-    output.  Negative indices (the padding sentinel) match no `hi` digit, so
-    their joint count is zero — padding needs no separate mask.
+    output.
 
     Same digit-split-as-matmul formulation as stats.matmul_histogram, but
     the one-hot operands live only in VMEM: HBM traffic is one int32 read
     per element instead of the ~(hi_n+lo_n) one-hot bytes/element the XLA
-    path materializes for the MXU.  The one-hots are built TRANSPOSED —
-    (digits, elements), elements on the lane axis, contraction over lanes —
-    from a 1D lane-major block: a (elements, 1) column layout is rejected by
-    the remote Mosaic compiler (probed on v5-lite); this form compiles and
-    runs correctly but measurably TIES the XLA matmul-histogram on that
-    chip (autotune probe 2026-08-21: pallas 0.052s vs xla 0.051s warm for
-    64x4M-element 2048-bin histograms), so the strict-win gate keeps the
-    XLA path in production and this kernel is the documented
-    fallback/reference implementation — the binning cost is VPU-bound
-    one-hot construction (~(hi_n+lo_n) compares/element), which both
-    formulations share."""
+    path materializes for the MXU (the XLA path's real bound).  The
+    one-hots are built TRANSPOSED — (digits, elements), elements on the
+    lane axis, contraction over lanes — from a 1D lane-major block: a
+    (elements, 1) column layout is rejected by the remote Mosaic compiler
+    (probed on v5-lite).
+
+    Padding sentinel: callers mark masked elements with -1.  No explicit
+    mask is needed — under floor semantics -1 // lo_n == -1 matches no
+    `hi` digit; under trunc semantics -1 % lo_n == -1 matches no `lo`
+    digit — either way the joint product is 0, saving two selects/element.
+
+    oh_dtype int8: compare int32 -> int8 one-hots -> s8xs8->s32 MXU.
+    oh_dtype int16: digits compared in 2-per-lane packed int16 — halves
+    VPU compare throughput cost where Mosaic packs them (idx < 2^15).
+    oh_dtype bfloat16: packed bf16 compares (digits < 256 are exact),
+    f32 MXU accumulation (block counts < 2^24)."""
     i = pl.program_id(0)
     flat = idx_ref[...]  # (HIST_BLOCK,) int32; -1 = masked padding
-    valid = flat >= 0
-    # keep the integer div/mod on non-negative operands only (floor-vs-trunc
-    # semantics of negative division never enter the picture)
-    hi = jnp.where(valid, flat // lo_n, -1)
-    lo = jnp.where(valid, flat % lo_n, 0)
     c = flat.shape[0]
-    hi_oh = (hi[None, :] == jax.lax.broadcasted_iota(jnp.int32, (hi_n, c), 0)
-             ).astype(jnp.int8)
-    lo_oh = (lo[None, :] == jax.lax.broadcasted_iota(jnp.int32, (lo_n, c), 0)
-             ).astype(jnp.int8)
-    part = jax.lax.dot_general(hi_oh, lo_oh, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.int32)
+    if lo_n & (lo_n - 1) == 0:
+        sh = lo_n.bit_length() - 1
+        # arithmetic >> floors: -1 -> hi -1 matches no digit; & keeps masking
+        hi = jax.lax.shift_right_arithmetic(flat, jnp.int32(sh))
+        lo = jax.lax.bitwise_and(flat, jnp.int32(lo_n - 1))
+    else:
+        # lax.div/rem = trunc semantics with no floor-correction selects:
+        # -1 -> (hi 0, lo -1), and lo=-1 matches no digit (see docstring)
+        hi = jax.lax.div(flat, jnp.int32(lo_n))
+        lo = jax.lax.rem(flat, jnp.int32(lo_n))
+    if oh_dtype in (jnp.bfloat16, jnp.int16):
+        cmp_t = oh_dtype
+        mm_t = jnp.bfloat16 if oh_dtype == jnp.bfloat16 else jnp.int8
+        hi_oh = (hi.astype(cmp_t)[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (hi_n, c), 0).astype(cmp_t)).astype(mm_t)
+        lo_oh = (lo.astype(cmp_t)[None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (lo_n, c), 0).astype(cmp_t)).astype(mm_t)
+        acc_t = jnp.float32 if oh_dtype == jnp.bfloat16 else jnp.int32
+        part = jax.lax.dot_general(hi_oh, lo_oh, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=acc_t
+                                   ).astype(jnp.int32)
+    else:
+        hi_oh = (hi[None, :] == jax.lax.broadcasted_iota(jnp.int32, (hi_n, c), 0)
+                 ).astype(jnp.int8)
+        lo_oh = (lo[None, :] == jax.lax.broadcasted_iota(jnp.int32, (lo_n, c), 0)
+                 ).astype(jnp.int8)
+        part = jax.lax.dot_general(hi_oh, lo_oh, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.int32)
 
     @pl.when(i == 0)
     def _():
@@ -155,22 +200,46 @@ def _hist_kernel(idx_ref, out_ref, *, hi_n, lo_n):
         out_ref[...] = out_ref[...] + part
 
 
-@functools.partial(jax.jit, static_argnames=("bins",))
-def histogram_pallas(idx, bins: int):
+def _hist_cfg(bins: int):
+    """(variant, lo_n) for production calls: the probe's cached winner, or
+    the geometric-mean split with int8 one-hots before any probe ran."""
+    from .autotune import cached_value
+    cfg = cached_value("pallas_hist_cfg", str(bins))
+    if cfg:
+        variant, lo_s = cfg.split(":")
+        return variant, int(lo_s)
+    return "i8", None
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "variant", "lo_n"))
+def histogram_pallas(idx, bins: int, variant: str = None, lo_n: int = None):
     """Exact histogram of int32 bucket indices in [0, bins); entries < 0 are
     ignored (callers mark masked/padded elements with -1).  Drop-in for
-    stats.matmul_histogram with identical (bit-exact) counts."""
-    lo_n = min(128, bins)
-    hi_n = -(-bins // lo_n)
+    stats.matmul_histogram with identical (bit-exact) counts.
+
+    variant: 'i8' (int8 one-hots, s8 MXU), 'i16' (2-packed int16 compares
+    into int8 one-hots), or 'bf16' (bf16 one-hots, f32 MXU).  lo_n
+    overrides the digit split.  Defaults resolve from the cached probe
+    (pallas_hist_cfg)."""
+    if variant is None:
+        variant, cfg_lo = _hist_cfg(bins)
+        lo_n = lo_n if lo_n is not None else cfg_lo
+    hi_n, lo_n = _digit_split(bins, lo_n)
+    if variant == "bf16" and max(hi_n, lo_n) > 256:
+        variant = "i8"  # bf16 integers are exact only up to 256
+    if variant == "i16" and max(hi_n, lo_n) > 32767:
+        variant = "i8"
+    oh_dtype = {"bf16": jnp.bfloat16, "i16": jnp.int16}.get(variant, jnp.int8)
+    block = _hist_block(hi_n + lo_n, 2 if variant == "bf16" else 1)
     n = idx.shape[0]
-    nblk = max(1, -(-n // HIST_BLOCK))
-    pad = nblk * HIST_BLOCK - n
+    nblk = max(1, -(-n // block))
+    pad = nblk * block - n
     if pad:
         idx = jnp.concatenate([idx, jnp.full((pad,), -1, jnp.int32)])
     out = pl.pallas_call(
-        functools.partial(_hist_kernel, hi_n=hi_n, lo_n=lo_n),
+        functools.partial(_hist_kernel, hi_n=hi_n, lo_n=lo_n, oh_dtype=oh_dtype),
         grid=(nblk,),
-        in_specs=[pl.BlockSpec((HIST_BLOCK,), lambda i: (i,),
+        in_specs=[pl.BlockSpec((block,), lambda i: (i,),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((hi_n, lo_n), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),

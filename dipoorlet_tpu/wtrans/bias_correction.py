@@ -16,7 +16,8 @@ from ..graph.graph import GraphIR
 from ..onnx_ir import make_node
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
-from .common import ActivationProvider, shard_bounds
+from .common import (ActivationProvider, SegmentedActivationProvider,
+                     make_activation_provider, shard_bounds)
 
 BC_NODE_TYPES = ("Conv", "Gemm")
 
@@ -32,6 +33,46 @@ def _ensure_bias(graph: GraphIR, node) -> str:
     graph.set_initializer(bias_name, np.zeros(c_out, dtype=np.float32))
     node.input.append(bias_name)
     return bias_name
+
+
+def _bc_segmented(graph_bc, q_provider, bc_nodes, fp_means, args):
+    """O(1)-sweep BiasCorrection: ONE segmented frontier sweep over the
+    quantized graph (2x segment evaluations — peek the statistic, update
+    the bias, re-run the segment under the new bias to commit).  Sequential
+    semantics match the reference's incremental cache reuse
+    (bias_correction.py:46-51): node k's statistic reflects every earlier
+    update because the committed frontier was recomputed under them."""
+    import jax
+    for node in bc_nodes:
+        logger.info("Update bias for node: %s", node.name)
+        out = node.output[0]
+        q_sum, n_local = q_provider.peek_channel_sum(out)
+        if jax.process_count() > 1:
+            from ..parallel import allreduce_sum_arrays
+            q_sum, n_total = allreduce_sum_arrays([q_sum, np.float64(n_local)])
+            n_total = float(n_total)
+        else:
+            n_total = float(n_local)
+        bias_diff = fp_means[out] - q_sum / n_total
+        bias_name = node.input[2]
+        new_bias = graph_bc.get_initializer(bias_name) + bias_diff.astype(np.float32)
+        graph_bc.set_initializer(bias_name, new_bias)
+        q_provider.update_weight(bias_name, new_bias)
+        q_provider.commit_past(out)
+
+
+def _bc_full_replay(graph_bc, q_provider, bc_nodes, bc_outputs, fp_means):
+    """Legacy O(nodes)-pass path (DIPOORLET_TPU_SEGMENTED=0): tap EVERY bc
+    output in one compiled program per pass and re-run the full forward
+    after each update."""
+    for node in bc_nodes:
+        logger.info("Update bias for node: %s", node.name)
+        q_mean = q_provider.channel_mean(bc_outputs)[node.output[0]]
+        bias_diff = fp_means[node.output[0]] - q_mean
+        bias_name = node.input[2]
+        new_bias = graph_bc.get_initializer(bias_name) + bias_diff.astype(np.float32)
+        graph_bc.set_initializer(bias_name, new_bias)
+        q_provider.update_weight(bias_name, new_bias)
 
 
 def bias_correction(graph: GraphIR, act_clip_val, weight_clip_val, args):
@@ -51,21 +92,12 @@ def bias_correction(graph: GraphIR, act_clip_val, weight_clip_val, args):
     fp_means = fp_provider.channel_mean(bc_outputs)
 
     graph_q, _ = quant_graph(graph_bc, clip_val, args)
-    q_provider = ActivationProvider(graph_q, args, st, ed)
+    q_provider = make_activation_provider(graph_q, args, st, ed)
 
-    for node in bc_nodes:
-        logger.info("Update bias for node: %s", node.name)
-        # tap EVERY bc output in one compiled program and index the node's:
-        # the sequential update semantics are identical (each call sees all
-        # prior bias updates via the provider's param refresh), but the
-        # whole phase compiles ONE stats program instead of one per node —
-        # first-contact BC on a 52-conv MobileNet dropped ~10x
-        q_mean = q_provider.channel_mean(bc_outputs)[node.output[0]]
-        bias_diff = fp_means[node.output[0]] - q_mean
-        bias_name = node.input[2]
-        new_bias = graph_bc.get_initializer(bias_name) + bias_diff.astype(np.float32)
-        graph_bc.set_initializer(bias_name, new_bias)
-        q_provider.update_weight(bias_name, new_bias)
+    if isinstance(q_provider, SegmentedActivationProvider):
+        _bc_segmented(graph_bc, q_provider, bc_nodes, fp_means, args)
+    else:
+        _bc_full_replay(graph_bc, q_provider, bc_nodes, bc_outputs, fp_means)
 
     import jax
     if jax.process_count() > 1:

@@ -390,7 +390,35 @@ class SegmentedActivationProvider:
         stop = max(self._ppos[n] for n in tensor_names) + 1
         if stop <= self.pos:
             return self._serve_from_frontier(tensor_names, relu)
-        return self._advance(stop, tuple(tensor_names), relu)
+        return self._advance(stop, tuple(tensor_names), "relu" if relu else None)
+
+    def peek_channel_sum(self, name):
+        """(per-channel sum of per-sample channel means as float64, n_shard)
+        of `name`, computed by running the cut->producer segment WITHOUT
+        committing the frontier — the BiasCorrection statistic.  The caller
+        updates the node's bias and then calls commit_past(name), which
+        re-runs the same segment with the NEW params (the reference's
+        recompute semantics, bias_correction.py:46-51); the whole BC phase
+        is then O(1) full-net sweeps (2x segment evaluations) instead of
+        one full stats pass per node."""
+        stop = self._ppos[name] + 1
+        if stop <= self.pos:
+            means = self._serve_from_frontier([name], False)[name]
+            means = (jnp.mean(means, axis=tuple(range(2, means.ndim)))
+                     if means.ndim > 2 else means)
+        else:
+            tap_chunks, _, _ = self._run_segment(stop, (name,), "chmean")
+            means = jnp.concatenate(tap_chunks[name], axis=0)[: self.n]
+        s = jnp.sum(means, axis=0)
+        return np.asarray(jax.device_get(s), np.float64), self.n
+
+    def commit_past(self, name) -> None:
+        """Advance the replay cut just past `name`'s producer, re-running
+        the segment under the CURRENT params (see peek_channel_sum)."""
+        stop = self._ppos[name] + 1
+        if stop <= self.pos:
+            return
+        self._advance(stop, (), None)
 
     # ------------------------------------------------------------------
     def _place_chunk(self, c):
@@ -413,14 +441,26 @@ class SegmentedActivationProvider:
             out[n] = jnp.maximum(a, 0) if relu else a
         return out
 
-    def _advance(self, stop, taps, relu):
+    _TAP_KINDS = {
+        None: None,
+        "relu": lambda name, a: jnp.maximum(a, 0),
+        # per-sample per-channel mean (BC statistic; sample shape (1, C, ...))
+        "chmean": lambda name, a: (
+            jnp.mean(a, axis=(0,) + tuple(range(2, a.ndim))) if a.ndim > 2
+            else jnp.mean(a, axis=0)),
+    }
+
+    def _run_segment(self, stop, taps, tap_kind):
+        """Execute steps[pos:stop] over all batches under the current
+        params; returns (tap_chunks, keep_chunks, keeps) without mutating
+        the frontier."""
         start = self.pos
         live = set(self.frontier)
         for step in self.ex.steps[start:stop]:
             live.update(o for o in step.outputs if o)
         keeps = tuple(sorted(n for n in live if self._last_use.get(n, -1) >= stop))
-        tap_tx = (lambda name, a: jnp.maximum(a, 0)) if relu else None
-        key = (start, stop, taps, relu, keeps)
+        tap_tx = self._TAP_KINDS[tap_kind]
+        key = (start, stop, taps, tap_kind, keeps)
         if key not in self._fns:
             self._fns[key] = self.ex.make_segment_batched(start, stop, taps, tap_tx,
                                                           keeps)
@@ -435,6 +475,10 @@ class SegmentedActivationProvider:
             for n in keeps:
                 keep_chunks[n].append(keep_out[n])
         self.steps_run += (stop - start) * self.n_batches
+        return tap_chunks, keep_chunks, keeps
+
+    def _advance(self, stop, taps, tap_kind):
+        tap_chunks, keep_chunks, _ = self._run_segment(stop, taps, tap_kind)
 
         frontier_bytes = sum(c.nbytes for v in keep_chunks.values() for c in v)
         self.host_frontier = frontier_bytes > self.budget_bytes

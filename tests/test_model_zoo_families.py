@@ -18,7 +18,7 @@ from dipoorlet_tpu.runtime import Executor
 from dipoorlet_tpu.runtime.data import make_synthetic_dataset
 from torch_export import MODEL_ZOO, ZOO_OUTPUT_NAMES, export
 
-FAMILIES = ["unet_tiny", "yolo_tiny", "vit_tiny"]
+FAMILIES = ["unet_tiny", "unet_diffusion_tiny", "yolo_tiny", "vit_tiny"]
 
 
 @pytest.fixture(scope="module", params=FAMILIES)
@@ -68,7 +68,7 @@ def family_ws(family):
 def test_e2e_quantize(family_ws):
     name, graph, ws = family_ws
     extra = ["-A", "minmax", "-D", "trt"]
-    if name == "unet_tiny":
+    if name.startswith("unet"):
         # the reference's unet branch (__main__.py:80-89) switches to the
         # transformer/ActivationCache statistics path
         extra += ["--model_type", "unet"]

@@ -44,15 +44,18 @@ def test_octav_pallas_relu_range():
     np.testing.assert_allclose(float(s), s_ref, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n,bins", [(500, 128), (8192, 2048), (9000, 2048), (64, 7)])
-def test_histogram_pallas_exact(n, bins):
-    """Bit-exact counts vs np.bincount; -1 sentinel entries count nowhere."""
+@pytest.mark.parametrize("variant", ["i8", "i16", "bf16"])
+@pytest.mark.parametrize("n,bins", [(500, 128), (8192, 2048), (9000, 2048),
+                                    (40000, 2048), (64, 7)])
+def test_histogram_pallas_exact(n, bins, variant):
+    """Bit-exact counts vs np.bincount; -1 sentinel entries count nowhere.
+    Both one-hot dtypes (int8 MXU / bf16 packed) must agree exactly."""
     from dipoorlet_tpu.calib.kernels import histogram_pallas
     rng = np.random.RandomState(n + bins)
     idx = rng.randint(0, bins, n).astype(np.int32)
     idx[rng.rand(n) < 0.1] = -1
     with pltpu.force_tpu_interpret_mode():
-        h = np.asarray(histogram_pallas(jnp.asarray(idx), bins))
+        h = np.asarray(histogram_pallas(jnp.asarray(idx), bins, variant=variant))
     ref = np.bincount(idx[idx >= 0], minlength=bins)
     np.testing.assert_array_equal(h, ref)
 

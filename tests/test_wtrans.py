@@ -393,3 +393,25 @@ def test_adaround_deterministic_across_runs(calib_env):
     assert stable_seed("conv1", S) == stable_seed("conv1", S)
     S.seed = 7
     assert stable_seed("conv1", S) != stable_seed("conv1", Args())
+
+
+def test_bias_correction_segmented_matches_full_replay(calib_env, monkeypatch):
+    """The O(1)-sweep segmented BC (frontier advance + analytic bias shift)
+    must produce the same biases as the O(nodes)-pass full-replay path."""
+    from dipoorlet_tpu.wtrans import bias_correction
+    data_dir, ws = calib_env
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=8)
+
+    def run(env):
+        monkeypatch.setenv("DIPOORLET_TPU_SEGMENTED", env)
+        g = _two_conv_model(seed=1)
+        g.output_dir = ws
+        act, wt = _ranges(g, data_dir)
+        return bias_correction(g, act, wt, args)
+
+    g_seg = run("1")
+    g_full = run("0")
+    for name in ("b1", "conv2_bias"):
+        np.testing.assert_allclose(
+            g_seg.get_initializer(name), g_full.get_initializer(name),
+            rtol=1e-5, atol=1e-6, err_msg=name)

@@ -258,6 +258,65 @@ def unet_tiny(num_classes=8):
     return UNetTiny(num_classes=num_classes)
 
 
+def _silu(x):
+    # explicit decomposition: exports as Sigmoid+Mul at opset 13 regardless
+    # of the exporter's aten::silu symbolic support
+    return x * torch.sigmoid(x)
+
+
+class GNBlock(nn.Module):
+    """GroupNorm/SiLU residual conv block (diffusion-UNet style)."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(8, cin)
+        self.conv1 = nn.Conv2d(cin, cout, 3, 1, 1)
+        self.norm2 = nn.GroupNorm(8, cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1)
+        self.skip = nn.Conv2d(cin, cout, 1) if cin != cout else nn.Identity()
+
+    def forward(self, x):
+        h = self.conv1(_silu(self.norm1(x)))
+        h = self.conv2(_silu(self.norm2(h)))
+        return h + self.skip(x)
+
+
+class UNetDiffusionTiny(nn.Module):
+    """GroupNorm/SiLU/Resize(nearest)/skip-concat topology — the modern
+    diffusion-UNet shape behind the reference's `--model_type unet` branch
+    (/root/reference/dipoorlet/__main__.py:80-89).  At opset 13 GroupNorm
+    exports as the Reshape/InstanceNormalization decomposition, SiLU as
+    Sigmoid+Mul, and the nearest upsample as Resize — exercising a
+    different op mix than UNetTiny's BN/ReLU/ConvTranspose."""
+
+    def __init__(self, width=16):
+        super().__init__()
+        w = width
+        self.stem = nn.Conv2d(3, w, 3, 1, 1)
+        self.down1 = GNBlock(w, w)
+        self.down2 = GNBlock(w, w * 2)
+        self.down3 = GNBlock(w * 2, w * 4)
+        self.pool = nn.AvgPool2d(2)
+        self.mid = GNBlock(w * 4, w * 4)
+        self.up = nn.Upsample(scale_factor=2, mode="nearest")
+        self.dec2 = GNBlock(w * 4 + w * 2, w * 2)
+        self.dec1 = GNBlock(w * 2 + w, w)
+        self.out_norm = nn.GroupNorm(8, w)
+        self.head = nn.Conv2d(w, 3, 3, 1, 1)
+
+    def forward(self, x):
+        s1 = self.down1(self.stem(x))
+        s2 = self.down2(self.pool(s1))
+        h = self.mid(self.down3(self.pool(s2)))
+        h = self.dec2(torch.cat([self.up(h), s2], 1))
+        h = self.dec1(torch.cat([self.up(h), s1], 1))
+        return self.head(_silu(self.out_norm(h)))
+
+
+def unet_diffusion_tiny():
+    return UNetDiffusionTiny()
+
+
 class YoloTiny(nn.Module):
     """Two-scale anchor-style detector: strided backbone, nearest-Upsample
     FPN with Concat, raw conv heads at strides 16/32.  Exercises the
@@ -348,13 +407,15 @@ MODEL_ZOO = {
     "mobilenet_v2": mobilenet_v2,
     "regnet_600m": regnet_600m,
     "unet_tiny": unet_tiny,
+    "unet_diffusion_tiny": unet_diffusion_tiny,
     "yolo_tiny": yolo_tiny,
     "vit_tiny": vit_tiny,
 }
 
 ZOO_OUTPUT_NAMES = {"yolo_tiny": ["p16", "p32"]}
 # native input resolution for the small families (ImageNet models use `image_size`)
-ZOO_IMAGE_SIZE = {"unet_tiny": 64, "yolo_tiny": 64, "vit_tiny": 64}
+ZOO_IMAGE_SIZE = {"unet_tiny": 64, "unet_diffusion_tiny": 64, "yolo_tiny": 64,
+                  "vit_tiny": 64}
 
 
 def export_zoo_model(name: str, path: str, image_size: int = 224, num_classes: int = 1000, seed: int = 0):
