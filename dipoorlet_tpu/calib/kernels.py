@@ -108,7 +108,7 @@ def octav_fits_vmem(shape) -> bool:
 # -- histogram ---------------------------------------------------------------
 # VMEM budget for the in-kernel transposed one-hot temporaries; the block
 # length adapts so (hi_n + lo_n) rows x block x dtype stays under it.
-HIST_ONEHOT_VMEM = 6 << 20
+HIST_ONEHOT_VMEM = 4 << 20
 
 
 def _digit_split(bins: int, lo_n: int = None):
@@ -132,7 +132,7 @@ def _digit_split(bins: int, lo_n: int = None):
 
 def _hist_block(rows: int, dtype_bytes: int) -> int:
     c = HIST_ONEHOT_VMEM // (rows * dtype_bytes)
-    return int(np.clip(c // 512 * 512, 4096, 65536))
+    return int(np.clip(c // 512 * 512, 4096, 32768))
 
 
 def _hist_kernel(idx_ref, out_ref, *, hi_n, lo_n, oh_dtype):
