@@ -115,7 +115,22 @@ def main():
         rows[cid] = {"model": model, "img": img, "samples": n,
                      "flags": " ".join(extra), "wall_s": wall,
                      "artifacts_ok": not missing, "missing": missing}
-        log(f"=== {cid}: {wall}s, artifacts_ok={not missing}")
+        # accuracy number per config: FP-vs-quant top-1 agreement + output
+        # cosine over the calibration set, evaluated on the emitted
+        # quant_model.onnx (includes any weight-transform updates)
+        qm = os.path.join(out, "quant_model.onnx")
+        if os.path.exists(qm):
+            try:
+                from eval_agreement import evaluate_agreement
+                from dipoorlet_tpu.graph import GraphIR
+                agr = evaluate_agreement(GraphIR.load(mp),
+                                         GraphIR.load(qm, simplify=False), dd, n)
+                rows[cid]["agreement"] = round(agr["agreement"], 4)
+                rows[cid]["avg_cos"] = round(agr["avg_cos"], 4)
+            except Exception as e:  # never lose the wall-clock row over this
+                rows[cid]["agreement_error"] = f"{type(e).__name__}: {e}"[:120]
+        log(f"=== {cid}: {wall}s, artifacts_ok={not missing}, "
+            f"agreement={rows[cid].get('agreement')}")
         path = os.path.join(ROOT, "docs", "CONFIG_MATRIX.json")
         merged = dict(rows)
         if os.path.exists(path):
