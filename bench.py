@@ -281,6 +281,14 @@ def measure_adaround(extra):
     extra["adaround_e2e_s"] = round(times[0], 1)
     extra["adaround_steady_s"] = round(times[1], 1)
     extra["adaround_compile_s"] = round(times[0] - times[1], 1)
+    # reference-scale anchor (ada_epoch=5000, ada_bs=64, 64 samples @224 —
+    # the reference's own defaults) measured by tools/adaround_ref_scale.py;
+    # surfaced here so every bench run reports the north-star number
+    ref_scale = os.path.join(ROOT, "docs", "ADAROUND_REF_SCALE.json")
+    if os.path.exists(ref_scale):
+        rs = json.load(open(ref_scale))
+        extra["adaround_ref_scale_s"] = rs.get("wall_s_full_5000ep")
+        extra["adaround_tflops"] = rs.get("adaround_tflops")
 
 
 def main():

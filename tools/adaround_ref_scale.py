@@ -101,12 +101,17 @@ def main():
     log(f"model_flops(resnet18@{IMG}) = {fwd_flops / 1e9:.2f} GFLOP/sample")
 
     out = os.path.join(CACHE, "ada_ref_scale")
+    t_cold = run_cli(out + "_short", EPOCH_SHORT)
+    log(f"short run, cold compiles ({EPOCH_SHORT} ep): {t_cold:.1f}s")
+    # the differential needs a WARM short run — the first one pays every
+    # shape-class compile the persistent cache couldn't serve
     t_short = run_cli(out + "_short", EPOCH_SHORT)
-    log(f"short run ({EPOCH_SHORT} ep): {t_short:.1f}s")
+    log(f"short run, warm ({EPOCH_SHORT} ep): {t_short:.1f}s")
 
     t_trace, train_dev_s = trace_train_block(out + "_trace", EPOCH_TRACE)
     log(f"trace run ({EPOCH_TRACE} ep): {t_trace:.1f}s, "
-        f"device _train_block time: {train_dev_s}")
+        f"device _train_block time: {train_dev_s} "
+        f"(None/0 over the axon relay: device events arrive unnamed)")
 
     t_full = run_cli(out + "_full", EPOCH_FULL)
     log(f"FULL reference-scale run ({EPOCH_FULL} ep): {t_full:.1f}s")
