@@ -118,6 +118,10 @@ class StatsRunner:
         self.tap_chunk = tap_chunk
         self._subrunners = None
         self._fns = {}
+        # pallas-hist bookkeeping: which bin counts built a Pallas step, and
+        # which were force-reverted to XLA after a runtime failure
+        self._hist_is_pallas = {}
+        self._hist_force_xla = set()
         self._data_cache = data_cache if data_cache is not None else {}
         self._dev_params = None  # (source dict, id token, device copy)
         # introspection: the sharding actually applied to calibration data
@@ -405,7 +409,9 @@ class StatsRunner:
             decided = autotune.cached_decision("pallas_hist", str(bins))
             if decided is None:
                 decided = kernels.use_pallas() and autotune.pallas_hist_enabled(bins)
-            use_pl = decided and (self.mesh is None or self.mesh.size == 1)
+            use_pl = (decided and (self.mesh is None or self.mesh.size == 1)
+                      and bins not in self._hist_force_xla)
+            self._hist_is_pallas[bins] = bool(use_pl)
 
             def binned_idx(params_, inputs, scales):
                 _, taps = self.ex.forward(params_, inputs, taps=names, outputs=())
@@ -462,6 +468,37 @@ class StatsRunner:
             self._fns[kind] = (jax.jit(step_raw), step_raw)
         return kind
 
+    def _run_hist_pass(self, bins, params, dataset, batch_size, start, end,
+                       carry0, fetch=True):
+        """_run_pass for the histogram step, with a one-shot runtime
+        fallback: a Pallas kernel that probed green can still fail at a NEW
+        input length (each tensor size is its own Mosaic compile, and the
+        remote compile service has shown transient HTTP-500s) — production
+        calibration must degrade to the XLA matmul-histogram, not die."""
+        kind = self._ensure_hist(bins)
+        try:
+            return self._run_pass(kind, params, dataset, batch_size, start, end,
+                                  carry0, fetch=fetch)
+        except Exception as e:
+            if not self._hist_is_pallas.get(bins):
+                raise
+            from ..utils.logging import logger
+            from . import autotune
+            msg = f"{type(e).__name__}: {e}"[:200]
+            logger.warning(
+                "Pallas histogram kernel failed at runtime (%s); rebuilding "
+                "this pass on the XLA matmul-histogram formulation", msg)
+            autotune.record("pallas_hist", False, 0.0,
+                            f"runtime failure, auto-disabled: {msg}",
+                            subkey=str(bins))
+            self._hist_force_xla.add(bins)
+            for key in [k for k in self._fns
+                        if (k if isinstance(k, str) else k[0]) == f"hist{bins}"]:
+                del self._fns[key]
+            kind = self._ensure_hist(bins)
+            return self._run_pass(kind, params, dataset, batch_size, start, end,
+                                  carry0, fetch=fetch)
+
     def _hist_carry0(self, bins, scales):
         z = np.zeros((len(self.tensor_names), bins), dtype=np.int32)
         return (z, z.copy(), scales)
@@ -485,9 +522,8 @@ class StatsRunner:
         amax = np.array([max(stats_min_max[n]["max"], -stats_min_max[n]["min"])
                          for n in names], np.float32)
         scales = np.where(amax > 0, bins / amax, 0.0).astype(np.float32)
-        kind = self._ensure_hist(bins)
-        carry, _ = self._run_pass(kind, params, dataset, batch_size, start, end,
-                                  self._hist_carry0(bins, scales))
+        carry, _ = self._run_hist_pass(bins, params, dataset, batch_size, start,
+                                       end, self._hist_carry0(bins, scales))
         return self._hist_result(carry)
 
     def run_minmax_hist(self, params, dataset, bins, batch_size=32, start=0, end=None):
@@ -523,11 +559,11 @@ class StatsRunner:
         # shift one bin vs the two-pass API (within the <=1-bin drift
         # documented in docs/PARITY.md); CPU is bit-identical (tested).
         scales = jnp.where(amax > 0, bins / amax, 0.0).astype(jnp.float32)
-        kind = self._ensure_hist(bins)
         z = jnp.zeros((len(names), bins), dtype=jnp.int32)
         carry0 = (z, z, scales)
-        (acc_hi, acc_lo, _), _ = self._run_pass(kind, params, dataset, batch_size,
-                                                start, end, carry0, fetch=False)
+        (acc_hi, acc_lo, _), _ = self._run_hist_pass(bins, params, dataset,
+                                                     batch_size, start, end,
+                                                     carry0, fetch=False)
         # pack the four result arrays into two before the fetch: each leaf of
         # a device_get is its own blocking round-trip over the remote relay
         # (~10-15 ms apiece, measured in the round-3 profiler trace)

@@ -116,3 +116,53 @@ def test_run_hist_pallas_formulation_matches_xla(tmp_path, monkeypatch):
     assert set(h_pl) == set(h_xla)
     for name in h_pl:
         np.testing.assert_array_equal(h_pl[name], h_xla[name])
+
+
+def test_run_hist_falls_back_when_kernel_fails(tmp_path, monkeypatch):
+    """A Pallas kernel that probed green can still fail at a new input
+    length (fresh Mosaic compile, transient remote-compile failures): the
+    hist pass must rebuild on the XLA formulation and continue, recording
+    the auto-disable, not crash production calibration."""
+    from dipoorlet_tpu import onnx_ir as oir
+    from dipoorlet_tpu.graph import GraphIR
+    from dipoorlet_tpu.graph.passes import simplify_graph
+    from dipoorlet_tpu.runtime import Executor
+    from dipoorlet_tpu.runtime.data import CalibDataset, make_synthetic_dataset
+    from dipoorlet_tpu.calib import stats as stats_mod
+    from dipoorlet_tpu.calib.stats import StatsRunner
+
+    rng = np.random.RandomState(1)
+    w = oir.array_to_tensor(rng.randn(4, 3, 3, 3).astype(np.float32) * 0.3, "w")
+    nodes = [oir.make_node("Conv", ["x", "w"], ["y"], name="conv",
+                           kernel_shape=[3, 3], pads=[1, 1, 1, 1],
+                           strides=[1, 1], dilations=[1, 1], group=1)]
+    graph = oir.make_graph(
+        nodes, "g",
+        [oir.make_tensor_value_info("x", oir.DataType.FLOAT, [1, 3, 6, 6])],
+        [oir.make_tensor_value_info("y", oir.DataType.FLOAT, [1, 4, 6, 6])],
+        initializer=[w])
+    g = GraphIR(oir.make_model(graph))
+    simplify_graph(g)
+    data_dir = str(tmp_path / "calib")
+    make_synthetic_dataset(data_dir, {"x": [1, 3, 6, 6]}, 8, seed=3)
+    ex = Executor(g)
+    params = ex.init_params()
+    ds = CalibDataset(data_dir, ex.input_shapes(), 8)
+    monkeypatch.setenv("DIPOORLET_TPU_PALLAS_HIST", "1")  # force pallas step
+    monkeypatch.setenv("DIPOORLET_TPU_AUTOTUNE_CACHE",
+                       str(tmp_path / "autotune.json"))
+
+    def boom(*a, **kw):
+        raise RuntimeError("simulated Mosaic HTTP 500")
+
+    monkeypatch.setattr("dipoorlet_tpu.calib.kernels.histogram_pallas", boom)
+    r = StatsRunner(ex)
+    mm = r.run_minmax(params, ds, batch_size=4)
+    h_fallback = r.run_hist(params, ds, mm, 64, batch_size=4)
+    assert r._hist_force_xla == {64}
+
+    monkeypatch.setenv("DIPOORLET_TPU_PALLAS_HIST", "0")
+    r2 = StatsRunner(ex)
+    h_xla = r2.run_hist(params, ds, mm, 64, batch_size=4)
+    for name in h_xla:
+        np.testing.assert_array_equal(h_fallback[name], h_xla[name])
