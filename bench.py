@@ -46,7 +46,7 @@ N_SAMPLES = int(os.environ.get("DIPOORLET_BENCH_SAMPLES", "100"))
 IMG = int(os.environ.get("DIPOORLET_BENCH_IMG", "224"))
 BINS = 2048
 BATCH = int(os.environ.get("DIPOORLET_BENCH_BATCH", "16"))
-BATCH_SWEEP = (16, 32, 64)
+BATCH_SWEEP = (16, 64, 128)  # 128: 2.3x lower device-time/sample (FORWARD_HEADROOM.json)
 SKIP_ADAROUND = os.environ.get("DIPOORLET_BENCH_SKIP_ADAROUND", "0") == "1"
 
 # bf16 matmul peak (FLOP/s) and HBM bandwidth (B/s) per TPU generation —

@@ -113,57 +113,54 @@ def stats_pass_sweep(res):
 
 
 def conv_layout_probe(res):
-    reps = 32
+    """Two relay measurement traps found while writing this (memory
+    them): (1) re-executing a pure jitted fn on the SAME arguments is
+    elided by the relay — every iteration must be data-distinct; (2)
+    block_until_ready does NOT block over the relay — the timed call must
+    device_get the (scalar) result, so each number carries the ~30-45 ms
+    fetch/dispatch floor and is a LOWER bound on device throughput."""
+    reps = 256
     rows = {}
+    rng = np.random.RandomState(0)
     for name, (cin, cout, kh, kw), hw, stride, _share in CONV_SHAPES:
         per = {}
         for layout in ("NCHW", "NHWC"):
             if layout == "NCHW":
-                x = jnp.ones((16, cin, hw, hw), jnp.bfloat16)
-                w = jnp.ones((cout, cin, kh, kw), jnp.bfloat16)
+                xs = rng.randn(16, cin, hw, hw).astype(np.float32)
+                ws = rng.randn(cout, cin, kh, kw).astype(np.float32) * 0.05
                 dn = ("NCHW", "OIHW", "NCHW")
             else:
-                x = jnp.ones((16, hw, hw, cin), jnp.bfloat16)
-                w = jnp.ones((kh, kw, cin, cout), jnp.bfloat16)
+                xs = rng.randn(16, hw, hw, cin).astype(np.float32)
+                ws = rng.randn(kh, kw, cin, cout).astype(np.float32) * 0.05
                 dn = ("NHWC", "HWIO", "NHWC")
+            x = jnp.asarray(xs, jnp.bfloat16)
+            w = jnp.asarray(ws, jnp.bfloat16)
 
             @jax.jit
-            def loop(x, w):
+            def loop(x, w, bias):
                 def body(i, acc):
+                    # bias + i keeps every iteration distinct: nothing can
+                    # be hoisted out of the loop or deduped by the relay
                     y = jax.lax.conv_general_dilated(
-                        acc, w, (stride, stride), "SAME",
-                        dimension_numbers=dn)
-                    # renormalize + reshape back so the loop carries a
-                    # fixed shape; cheap vs the conv
-                    return jax.lax.slice(y, (0,) * 4, acc.shape) \
-                        if y.shape != acc.shape else y * jnp.bfloat16(0.5)
-                return jax.lax.fori_loop(0, reps, body, x)
+                        x + (bias + i).astype(jnp.bfloat16) * jnp.bfloat16(1e-6),
+                        w, (stride, stride), "SAME", dimension_numbers=dn)
+                    return acc + jnp.sum(y.astype(jnp.float32))
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-            if stride != 1 or cin != cout:
-                # carried shape changes: time a single conv repeated via
-                # stacking instead
-                @jax.jit
-                def loop(x, w):  # noqa: F811
-                    def body(i, acc):
-                        y = jax.lax.conv_general_dilated(
-                            x, w, (stride, stride), "SAME",
-                            dimension_numbers=dn)
-                        return acc + jnp.sum(y)
-                    return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
-
-            out = loop(x, w)
-            jax.block_until_ready(out)
-            t0 = time.time()
-            jax.block_until_ready(loop(x, w))
-            dt = time.time() - t0
-            oh = hw // stride
+            float(jax.device_get(loop(x, w, jnp.float32(0.0))))  # compile
+            dt = float("inf")
+            for k in (1, 2):
+                t0 = time.time()
+                float(jax.device_get(loop(x, w, jnp.float32(k))))
+                dt = min(dt, time.time() - t0)
+            oh = -(-hw // stride)
             flops = 2 * 16 * cout * oh * oh * cin * kh * kw * reps
             per[layout] = {"s": round(dt, 4),
                            "tflops": round(flops / dt / 1e12, 1),
                            "mfu": round(flops / dt / 197e12, 3)}
             log(f"{name} {layout}: {dt:.4f}s {per[layout]['tflops']} Tflop/s")
         rows[name] = per
-    res["conv_layout_probe_batch16_x32reps"] = rows
+    res["conv_layout_probe_batch16_x256reps"] = rows
 
 
 def main():
