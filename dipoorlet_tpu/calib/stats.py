@@ -483,14 +483,14 @@ class StatsRunner:
             if not self._hist_is_pallas.get(bins):
                 raise
             from ..utils.logging import logger
-            from . import autotune
-            msg = f"{type(e).__name__}: {e}"[:200]
+            msg = f"{type(e).__name__}: {e}"[:120]
             logger.warning(
                 "Pallas histogram kernel failed at runtime (%s); rebuilding "
                 "this pass on the XLA matmul-histogram formulation", msg)
-            autotune.record("pallas_hist", False, 0.0,
-                            f"runtime failure, auto-disabled: {msg}",
-                            subkey=str(bins))
+            # session-only fallback: the remote Mosaic compile service has
+            # shown TRANSIENT failures (all failing lengths re-probed clean),
+            # so don't poison the persistent probe record — the next process
+            # retries the kernel and degrades gracefully again if needed
             self._hist_force_xla.add(bins)
             for key in [k for k in self._fns
                         if (k if isinstance(k, str) else k[0]) == f"hist{bins}"]:
