@@ -38,6 +38,11 @@ CONFIGS = [
     ("int8 hist", ["-A", "hist"]),
     ("int8 kl", ["-A", "kl"]),
     ("int8 mse (OCTAV)", ["-A", "mse"]),
+    # transformer-outlier row: per-tensor int8 visibly damages ViTs
+    # (LayerNorm-fed MatMuls); SmoothQuant migrates the outliers into the
+    # weights — measured recovery on the trained ViT family
+    ("int8 mse SmoothQuant", ["-A", "mse", "--smooth_quant",
+                              "--optim_transformer"]),
     ("w4a8 naive", ["--w_bit", "4"]),
     ("w4a8 AdaRound", ["--w_bit", "4", "--adaround"]),
     ("w4a4 naive", ["--w_bit", "4", "--a_bit", "4"]),
