@@ -355,7 +355,11 @@ class SegmentedActivationProvider:
         self._fns: Dict = {}
 
         # initial frontier = the network inputs, padded to full batches,
-        # as host chunks (uploaded with the first segment)
+        # STACKED as (n_batches, B, *shape) host arrays (uploaded with the
+        # first segment).  The stacked layout lets every segment run ALL
+        # batches in one lax.map dispatch — over the remote relay the
+        # per-batch dispatch loop (~30-40 ms each) dominated BC/AdaRound's
+        # non-training wall-clock.
         chunks: Dict[str, list] = {name: [] for name in self.dataset.input_shapes}
         for bst in range(0, self.n, self.batch_size):
             idx = [int(i) for i in self.indices[bst:bst + self.batch_size]]
@@ -367,7 +371,7 @@ class SegmentedActivationProvider:
             for k in chunks:
                 chunks[k].append(np.asarray(batch[k]))
         self.n_batches = len(next(iter(chunks.values())))
-        self.frontier: Dict[str, list] = chunks
+        self.frontier: Dict = {k: np.stack(v) for k, v in chunks.items()}
 
     def update_weight(self, name: str, value) -> None:
         value = jnp.asarray(np.asarray(value))
@@ -407,8 +411,8 @@ class SegmentedActivationProvider:
             means = (jnp.mean(means, axis=tuple(range(2, means.ndim)))
                      if means.ndim > 2 else means)
         else:
-            tap_chunks, _, _ = self._run_segment(stop, (name,), "chmean")
-            means = jnp.concatenate(tap_chunks[name], axis=0)[: self.n]
+            tap_out, _, _ = self._run_segment(stop, (name,), "chmean")
+            means = self._flatten(tap_out[name])
         s = jnp.sum(means, axis=0)
         return np.asarray(jax.device_get(s), np.float64), self.n
 
@@ -421,12 +425,19 @@ class SegmentedActivationProvider:
         self._advance(stop, (), None)
 
     # ------------------------------------------------------------------
-    def _place_chunk(self, c):
-        if isinstance(c, np.ndarray):
+    def _place_stack(self, a):
+        """Place one stacked (n_batches, B, *shape) frontier array."""
+        if isinstance(a, np.ndarray):
             if self._sharding is not None:
-                return jax.device_put(c, self._sharding)
-            return jnp.asarray(c)
-        return c
+                from ..parallel import batched_data_sharding
+                return jax.device_put(
+                    a, batched_data_sharding(self._sharding.mesh))
+            return jnp.asarray(a)
+        return a
+
+    def _flatten(self, a):
+        """(n_batches, B, ...) -> (n_shard, ...): drop the batch padding."""
+        return jnp.reshape(a, (-1,) + tuple(a.shape[2:]))[: self.n]
 
     def _serve_from_frontier(self, names, relu):
         out = {}
@@ -436,8 +447,7 @@ class SegmentedActivationProvider:
                     f"tensor '{n}' is behind the replay cut and already evicted; "
                     f"request activations in topological order (or use "
                     f"ActivationProvider)")
-            a = jnp.concatenate([self._place_chunk(c) for c in self.frontier[n]],
-                                axis=0)[: self.n]
+            a = self._flatten(self._place_stack(self.frontier[n]))
             out[n] = jnp.maximum(a, 0) if relu else a
         return out
 
@@ -451,9 +461,9 @@ class SegmentedActivationProvider:
     }
 
     def _run_segment(self, stop, taps, tap_kind):
-        """Execute steps[pos:stop] over all batches under the current
-        params; returns (tap_chunks, keep_chunks, keeps) without mutating
-        the frontier."""
+        """Execute steps[pos:stop] over ALL batches in ONE dispatch
+        (lax.map over the stacked frontier); returns (stacked_taps,
+        stacked_keeps, keeps) without mutating the frontier."""
         start = self.pos
         live = set(self.frontier)
         for step in self.ex.steps[start:stop]:
@@ -462,33 +472,33 @@ class SegmentedActivationProvider:
         tap_tx = self._TAP_KINDS[tap_kind]
         key = (start, stop, taps, tap_kind, keeps)
         if key not in self._fns:
-            self._fns[key] = self.ex.make_segment_batched(start, stop, taps, tap_tx,
-                                                          keeps)
+            inner = self.ex.make_segment_batched(start, stop, taps, tap_tx,
+                                                 keeps, jit=False)
+
+            def whole(params, fstack):
+                # lax.map = sequential scan over the batch-stack: one
+                # dispatch, peak memory of one batch's live set
+                return jax.lax.map(lambda fb: inner(params, fb), fstack)
+
+            self._fns[key] = jax.jit(whole)
         fn = self._fns[key]
-        tap_chunks: Dict[str, list] = {n: [] for n in taps}
-        keep_chunks: Dict[str, list] = {n: [] for n in keeps}
-        for b in range(self.n_batches):
-            fb = {k: self._place_chunk(v[b]) for k, v in self.frontier.items()}
-            tap_out, keep_out = fn(self.params, fb)
-            for n in taps:
-                tap_chunks[n].append(tap_out[n])
-            for n in keeps:
-                keep_chunks[n].append(keep_out[n])
+        fstack = {k: self._place_stack(v) for k, v in self.frontier.items()}
+        tap_out, keep_out = fn(self.params, fstack)
         self.steps_run += (stop - start) * self.n_batches
-        return tap_chunks, keep_chunks, keeps
+        return tap_out, keep_out, keeps
 
     def _advance(self, stop, taps, tap_kind):
-        tap_chunks, keep_chunks, _ = self._run_segment(stop, taps, tap_kind)
+        tap_out, keep_out, _ = self._run_segment(stop, taps, tap_kind)
 
-        frontier_bytes = sum(c.nbytes for v in keep_chunks.values() for c in v)
+        frontier_bytes = sum(v.nbytes for v in keep_out.values())
         self.host_frontier = frontier_bytes > self.budget_bytes
         if self.host_frontier:
-            self.frontier = {n: [np.asarray(c) for c in jax.device_get(v)]
-                             for n, v in keep_chunks.items()}
+            self.frontier = {n: np.asarray(v)
+                             for n, v in jax.device_get(keep_out).items()}
         else:
-            self.frontier = keep_chunks
+            self.frontier = keep_out
         self.pos = stop
-        return {n: jnp.concatenate(tap_chunks[n], axis=0)[: self.n] for n in taps}
+        return {n: self._flatten(tap_out[n]) for n in taps}
 
 
 def make_activation_provider(graph: GraphIR, args, st: int, ed: int,
