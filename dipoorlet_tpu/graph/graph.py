@@ -313,23 +313,39 @@ class GraphIR:
     # -- traversal helpers ---------------------------------------------------
     def topo_sort(self) -> List[NodeProto]:
         """Kahn topological order over nodes (reference keeps protobuf order;
-        we guarantee a valid order regardless of insertion position)."""
+        we guarantee a valid order regardless of insertion position).
+
+        Control-flow nodes (If/Loop/Scan) implicitly depend on outer-scope
+        tensors their subgraphs capture by name; those edges are invisible
+        in node.input and must be added or the node could be ordered before
+        its captures exist."""
         produced = set(self.network_inputs) | set(self.initializer)
         nodes = list(self.graph.node)
+        deps = {}
+        all_outputs = {o for n in nodes for o in n.output if o}
+        for node in nodes:
+            d = [i for i in node.input if i]
+            if node.op_type in ("If", "Loop", "Scan"):
+                from ..runtime.control_flow import subgraph_tensor_names
+                # only captures that some node here produces are edges;
+                # formal subgraph-internal names are not outer tensors
+                d += [t for t in subgraph_tensor_names(node)
+                      if t in all_outputs]
+            deps[id(node)] = d
         order = []
         pending = nodes
         while pending:
             progressed = False
             rest = []
             for node in pending:
-                if all((i == "") or (i in produced) for i in node.input):
+                if all(i in produced for i in deps[id(node)]):
                     order.append(node)
                     produced.update(o for o in node.output if o)
                     progressed = True
                 else:
                     rest.append(node)
             if not progressed:
-                missing = {i for n in rest for i in n.input if i and i not in produced}
+                missing = {i for n in rest for i in deps[id(n)] if i not in produced}
                 raise ValueError(f"graph has unreachable inputs or a cycle; missing: {sorted(missing)[:10]}")
             pending = rest
         return order

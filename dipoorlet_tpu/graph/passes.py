@@ -88,6 +88,30 @@ def simplify_graph(graph: GraphIR, fold_constants: bool = True) -> GraphIR:
                 rename[node.output[1]] = src  # dropout mask unused in inference
             continue
 
+        if node.op_type in ("If", "Loop", "Scan"):
+            # subgraph control flow: never folded; output shapes come from
+            # abstract evaluation of the subgraph closure (captures resolve
+            # against the outer shapes known at this point of topo order)
+            from ..runtime.control_flow import abstract_outputs
+
+            def lookup_aval(name):
+                if name in consts:
+                    return consts[name]
+                if name not in shapes or shapes[name] is None:
+                    raise ValueError(
+                        f"missing shape for tensor '{name}' feeding "
+                        f"control-flow node {node.name}")
+                return jax.ShapeDtypeStruct(shapes[name], dtypes[name])
+
+            outs = abstract_outputs(node, opset, lookup_aval)
+            outs = outs if isinstance(outs, tuple) else (outs,)
+            for out_name, av in zip(node.output, outs):
+                if out_name:
+                    shapes[out_name] = tuple(av.shape)
+                    dtypes[out_name] = np.dtype(av.dtype)
+            new_nodes.append(node)
+            continue
+
         fn = OP_REGISTRY.get(node.op_type)
         if fn is None:
             raise NotImplementedError(f"op '{node.op_type}' (node {node.name}) not implemented")
@@ -208,6 +232,10 @@ def _prune_unused_initializers(g: GraphIR, nodes):
     used = set()
     for node in nodes:
         used.update(n for n in node.input if n)
+        if node.op_type in ("If", "Loop", "Scan"):
+            # subgraphs capture outer initializers by name
+            from ..runtime.control_flow import subgraph_tensor_names
+            used |= subgraph_tensor_names(node)
     used.update(g.network_outputs)
     keep = [t for t in g.graph.initializer if t.name in used]
     if len(keep) != len(g.graph.initializer):

@@ -27,9 +27,11 @@ from ..ops import OP_REGISTRY, STATIC_INPUTS, OpContext
 
 
 class Step:
-    __slots__ = ("name", "op_type", "fn", "ctx", "inputs", "outputs", "static_idx")
+    __slots__ = ("name", "op_type", "fn", "ctx", "inputs", "outputs",
+                 "static_idx", "needs_env")
 
-    def __init__(self, name, op_type, fn, ctx, inputs, outputs, static_idx):
+    def __init__(self, name, op_type, fn, ctx, inputs, outputs, static_idx,
+                 needs_env=False):
         self.name = name
         self.op_type = op_type
         self.fn = fn
@@ -37,6 +39,7 @@ class Step:
         self.inputs = inputs
         self.outputs = outputs
         self.static_idx = static_idx
+        self.needs_env = needs_env
 
 
 class Executor:
@@ -62,17 +65,19 @@ class Executor:
         g = self.graph
         traced_inits = set()
         for node in g.topo_sort():
-            fn = OP_REGISTRY.get(node.op_type)
-            if fn is None:
-                raise NotImplementedError(
-                    f"op '{node.op_type}' (node {node.name}) has no JAX "
-                    f"implementation. dipoorlet_tpu covers the CNN, "
-                    f"transformer-encoder, recurrent (LSTM/GRU) and "
-                    f"detection families ({len(OP_REGISTRY)} ops); "
-                    f"data-dependent control flow (If/Loop/Scan) is out of "
-                    f"the static-XLA contract — export the model without "
-                    f"it, or open the graph at a static cut (see "
-                    f"graph/passes.py truncate_for_static_execution)")
+            from .control_flow import resolve_op, subgraph_tensor_names
+            fn, needs_env = resolve_op(node, self.opset)
+            if needs_env:
+                # subgraph captures of outer initializers must enter params
+                # so weight updates reach the compiled subgraph too
+                for name in subgraph_tensor_names(node):
+                    if name in g.initializer:
+                        traced_inits.add(name)
+                ctx = OpContext(node_attrs(node), node=node, opset=self.opset)
+                self.steps.append(Step(node.name, node.op_type, fn, ctx,
+                                       list(node.input), list(node.output),
+                                       set(), needs_env=True))
+                continue
             static_set = STATIC_INPUTS.get(node.op_type, set())
             statics = {}
             inputs = list(node.input)
@@ -162,7 +167,16 @@ class Executor:
             # strip trailing Nones (optional inputs)
             while args and args[-1] is None:
                 args.pop()
-            result = step.fn(step.ctx, *args)
+            if step.needs_env:
+                def lookup(name, _env=env, _params=params):
+                    if name in _env:
+                        return _env[name]
+                    if name in _params:
+                        return _params[name]
+                    return jnp.asarray(self.graph.initializer[name])
+                result = step.fn(step.ctx, lookup, *args)
+            else:
+                result = step.fn(step.ctx, *args)
             if isinstance(result, tuple):
                 for out_name, val in zip(step.outputs, result):
                     if out_name:
