@@ -157,7 +157,6 @@ def make_control_flow_fn(node, opset: int):
         # body inputs: (iteration_num, cond_in, *loop_vars)
         # body outputs: (cond_out, *loop_vars_out, *scan_outputs)
         n_loop_vars = len(body.formal_inputs) - 2
-        n_scan_out = len(body.outputs) - 1 - n_loop_vars
 
         def loop_fn(ctx, lookup, trip_count=None, cond=None, *loop_vars):
             if trip_count is None:

@@ -179,3 +179,43 @@ def test_subgraph_roundtrips_through_save(tmp_path):
     out, _ = ex.forward(ex.init_params(), {"x": x})
     w = np.asarray([[2.0, 3.0, 4.0, 5.0]], np.float32)
     np.testing.assert_allclose(np.asarray(out["y"]), x * w + 1, rtol=1e-6)
+
+
+def test_torchscript_if_export_parity(tmp_path, rng):
+    """A REAL torch.jit.script export with data-dependent branching (emits
+    ReduceSum/Greater/Cast/If) runs with torch parity on both branches."""
+    import torch
+    import torch.nn as nn
+    from torch_export import _install_onnx_stub
+    _install_onnx_stub()
+
+    class Branchy(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.a = nn.Linear(8, 8)
+            self.b = nn.Linear(8, 8)
+
+        def forward(self, x):
+            if bool(x.sum() > 0):
+                y = self.a(x)
+            else:
+                y = self.b(x)
+            return y
+
+    torch.manual_seed(0)
+    m = torch.jit.script(Branchy())
+    path = str(tmp_path / "branchy.onnx")
+    torch.onnx.export(m, (torch.randn(1, 8),), path, opset_version=13,
+                      dynamo=False, input_names=["input"],
+                      output_names=["output"])
+    g = GraphIR.load(path)
+    assert any(n.op_type == "If" for n in g.graph.node)
+    ex = Executor(g)
+    params = ex.init_params()
+    base = np.abs(rng.randn(1, 8)).astype(np.float32)
+    for x in (base, -base):
+        with torch.no_grad():
+            ref = m(torch.from_numpy(x)).numpy()
+        out, _ = ex.forward(params, {"input": x})
+        np.testing.assert_allclose(np.asarray(out["output"]), ref,
+                                   rtol=1e-5, atol=1e-6)
