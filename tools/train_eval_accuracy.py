@@ -52,6 +52,10 @@ CONFIGS = [
     # show the task detects quantization damage and reconstruction recovers it
     ("w2a4 naive", ["--w_bit", "2", "--a_bit", "4"]),
     ("w2a4 BRECQ+QDrop", ["--w_bit", "2", "--a_bit", "4", "--brecq", "--drop"]),
+    # sparse-quant: 50% magnitude pruning + int8 with STE finetuning —
+    # accuracy evidence for the sparse reconstruction path
+    ("int8 sparse50", ["-A", "minmax", "--sparse", "--sparse_rate", "0.5"]),
+    ("int8 sparse50 nv24", ["-A", "minmax", "--sparse", "--pattern", "nv24"]),
 ]
 
 
