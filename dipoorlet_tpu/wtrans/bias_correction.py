@@ -35,6 +35,99 @@ def _ensure_bias(graph: GraphIR, node) -> str:
     return bias_name
 
 
+def _bc_fused(graph_bc, graph_q, bc_nodes, fp_means, args, st, ed):
+    """The whole BiasCorrection phase as ONE traced program.
+
+    Sequential semantics are preserved INSIDE the trace: for each Conv/
+    Gemm node in topo order, a lax.map segment advances the stacked batch
+    frontier to the node, its per-channel mean is reduced over all
+    samples, the bias param is updated, and the segment re-runs under the
+    new bias before the cut commits (the reference's recompute semantics,
+    bias_correction.py:46-51).  One dispatch + one packed fetch replace
+    the ~8-dispatches-per-node of the segmented driver — over a remote
+    device link the phase collapses from tens of seconds to roughly two
+    sweeps of device compute."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..runtime.data import CalibDataset
+    from ..runtime.executor import Executor
+    from .common import mesh_sharding
+
+    ex = Executor(graph_q)
+    params = {k: jnp.asarray(v) for k, v in ex.init_params().items()}
+    ds = CalibDataset(args.input_dir, ex.input_shapes(), args.data_num)
+    bs = getattr(args, "batch_size", 16)
+    indices = list(range(st, ed))
+    n = len(indices)
+    chunks = {name: [] for name in ds.input_shapes}
+    for off in range(0, n, bs):
+        idx = indices[off:off + bs]
+        batch = ds.load_batch(idx)
+        if len(idx) < bs:
+            batch = {k: np.concatenate(
+                [v, np.repeat(v[-1:], bs - len(idx), axis=0)], axis=0)
+                for k, v in batch.items()}
+        for k in chunks:
+            chunks[k].append(np.asarray(batch[k]))
+    frontier0 = {k: np.stack(v) for k, v in chunks.items()}
+    sharding = mesh_sharding(args)
+    if sharding is not None and bs % sharding.mesh.devices.size == 0:
+        from ..parallel import batched_data_sharding
+        b_sh = batched_data_sharding(sharding.mesh)
+        frontier0 = {k: jax.device_put(v, b_sh) for k, v in frontier0.items()}
+
+    ppos = ex.producer_pos()
+    last_use = {}
+    for i, step in enumerate(ex.steps):
+        for idx_, name in enumerate(step.inputs):
+            if name and idx_ not in step.static_idx:
+                last_use[name] = i
+
+    def chmean_tx(_name, a):
+        return (jnp.mean(a, axis=(0,) + tuple(range(2, a.ndim)))
+                if a.ndim > 2 else jnp.mean(a, axis=0))
+
+    segs = []
+    pos = 0
+    live_names = set(frontier0)
+    for node in bc_nodes:
+        stop = ppos[node.output[0]] + 1
+        live = set(live_names)
+        for step in ex.steps[pos:stop]:
+            live.update(o for o in step.outputs if o)
+        keeps = tuple(sorted(m for m in live if last_use.get(m, -1) >= stop))
+        fn = ex.make_segment_batched(pos, stop, (node.output[0],), chmean_tx,
+                                     keeps, jit=False)
+        segs.append((fn, node.output[0], node.input[2]))
+        live_names = set(keeps)
+        pos = stop
+
+    fp_vecs = [jnp.asarray(fp_means[out], jnp.float32) for _, out, _ in segs]
+
+    @jax.jit
+    def program(params, frontier):
+        params = dict(params)
+        new_biases = []
+        for (fn, out, bias_name), fp_vec in zip(segs, fp_vecs):
+            def run(par, fr, _fn=fn):
+                return jax.lax.map(lambda fb: _fn(par, fb), fr)
+            taps, _ = run(params, frontier)            # peek the statistic
+            means = taps[out]
+            means = means.reshape((-1,) + means.shape[2:])[:n]
+            diff = fp_vec - jnp.mean(means, axis=0)
+            params[bias_name] = params[bias_name] + diff.astype(params[bias_name].dtype)
+            new_biases.append(params[bias_name])
+            _, frontier = run(params, frontier)        # commit under new bias
+        return new_biases
+
+    new_biases = jax.device_get(program(params, frontier0))
+    for (_, _, bias_name), b in zip(segs, new_biases):
+        logger.info("Update bias for node: %s",
+                    bias_name.replace("_bias", ""))
+        graph_bc.set_initializer(bias_name, np.asarray(b, np.float32))
+
+
 def _bc_segmented(graph_bc, q_provider, bc_nodes, fp_means, args):
     """O(1)-sweep BiasCorrection: ONE segmented frontier sweep over the
     quantized graph (2x segment evaluations — peek the statistic, update
@@ -92,12 +185,21 @@ def bias_correction(graph: GraphIR, act_clip_val, weight_clip_val, args):
     fp_means = fp_provider.channel_mean(bc_outputs)
 
     graph_q, _ = quant_graph(graph_bc, clip_val, args)
-    q_provider = make_activation_provider(graph_q, args, st, ed)
 
-    if isinstance(q_provider, SegmentedActivationProvider):
-        _bc_segmented(graph_bc, q_provider, bc_nodes, fp_means, args)
+    import os as _os
+    import jax as _jax
+    if (_jax.process_count() == 1
+            and _os.environ.get("DIPOORLET_TPU_BC_FUSED", "1") == "1"
+            and _os.environ.get("DIPOORLET_TPU_SEGMENTED", "1") == "1"):
+        # whole phase as one traced program (single-process; multi-process
+        # keeps the segmented driver with its cross-rank stat allreduce)
+        _bc_fused(graph_bc, graph_q, bc_nodes, fp_means, args, st, ed)
     else:
-        _bc_full_replay(graph_bc, q_provider, bc_nodes, bc_outputs, fp_means)
+        q_provider = make_activation_provider(graph_q, args, st, ed)
+        if isinstance(q_provider, SegmentedActivationProvider):
+            _bc_segmented(graph_bc, q_provider, bc_nodes, fp_means, args)
+        else:
+            _bc_full_replay(graph_bc, q_provider, bc_nodes, bc_outputs, fp_means)
 
     import jax
     if jax.process_count() > 1:

@@ -415,3 +415,25 @@ def test_bias_correction_segmented_matches_full_replay(calib_env, monkeypatch):
         np.testing.assert_allclose(
             g_seg.get_initializer(name), g_full.get_initializer(name),
             rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_bias_correction_fused_matches_segmented(calib_env, monkeypatch):
+    """The one-dispatch fused BC program must produce the same biases as
+    the per-node segmented driver (and therefore the full-replay path)."""
+    from dipoorlet_tpu.wtrans import bias_correction
+    data_dir, ws = calib_env
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=8)
+
+    def run(fused):
+        monkeypatch.setenv("DIPOORLET_TPU_BC_FUSED", fused)
+        g = _two_conv_model(seed=1)
+        g.output_dir = ws
+        act, wt = _ranges(g, data_dir)
+        return bias_correction(g, act, wt, args)
+
+    g_fused = run("1")
+    g_seg = run("0")
+    for name in ("b1", "conv2_bias"):
+        np.testing.assert_allclose(
+            g_fused.get_initializer(name), g_seg.get_initializer(name),
+            rtol=1e-5, atol=1e-6, err_msg=name)
