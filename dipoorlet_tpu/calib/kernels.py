@@ -233,6 +233,12 @@ def histogram_pallas(idx, bins: int, variant: str = None, lo_n: int = None):
     block = _hist_block(hi_n + lo_n, 2 if variant == "bf16" else 1)
     n = idx.shape[0]
     nblk = max(1, -(-n // block))
+    # bucket grid sizes to multiples of 4: every distinct grid count is a
+    # separate Mosaic remote compile (a flake surface — see the runtime
+    # fallback in stats.py); padding blocks are all -1 sentinels and cost
+    # ~3 blocks of VPU time at most
+    if nblk > 1:
+        nblk = -(-nblk // 4) * 4
     pad = nblk * block - n
     if pad:
         idx = jnp.concatenate([idx, jnp.full((pad,), -1, jnp.int32)])
