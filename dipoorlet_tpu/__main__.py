@@ -207,6 +207,20 @@ def main(argv=None):
                         "and restart dipoorlet_tpu.", e)
             sys.exit(1)
 
+    # validate the calibration dataset up front: a missing directory or a
+    # short sample range otherwise surfaces as a raw rc=-1 from the native
+    # loader deep inside the first stats pass
+    for inp in onnx_graph.network_inputs:
+        d = os.path.join(args.input_dir, inp)
+        last = os.path.join(d, f"{args.data_num - 1}.bin")
+        if not os.path.isdir(d) or not os.path.exists(last):
+            logger.error(
+                "Calibration data missing: expected %s/<0..%d>.bin "
+                "(reference layout input_dir/<input_name>/<idx>.bin, "
+                "forward_net.py:459-464). Check -I/--input_dir and -N.",
+                d, args.data_num - 1)
+            sys.exit(1)
+
     if rank == 0:
         logger.info("Do tensor calibration...")
     act_clip_val, weight_clip_val = tensor_calibration(onnx_graph, args)
