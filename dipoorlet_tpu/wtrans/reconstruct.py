@@ -17,6 +17,7 @@ TPU-first design:
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache, partial
 from typing import List, NamedTuple, Optional
 
@@ -219,6 +220,63 @@ def _train_block(bsig: _BlockSig, weights, biases, wq, actis, masks0,
     return masks, losses
 
 
+@partial(jax.jit, static_argnames=("bsig", "n_iter"))
+def _train_block_chunk(bsig: _BlockSig, weights, biases, wq, actis, masks,
+                       opt_state, start_it, n_iter, q_in, fp_out, fp_in,
+                       valid, seed):
+    """One chunk of the reconstruction loop: same step math as
+    _train_block, but the scan covers [start_it, start_it + n_iter) of the
+    GLOBAL iteration range (minibatch rotation, PRNG folding and the
+    β-annealed regularizer all key off the global step).  Exists because a
+    single 5000-step scan at large activation shapes repeatably crashed
+    the relay-attached TPU worker (BASELINE.md); DIPOORLET_TPU_SCAN_CHUNK
+    splits the loop into shorter programs with the optimizer state carried
+    across dispatches."""
+    tx = optax.adam(1e-3)
+    root_key = jax.random.PRNGKey(seed)
+    n_batches = bsig.n_batches
+    drop_ratio = 0.5
+
+    def body(carry, it):
+        masks, opt_state = carry
+        b_idx = it % n_batches
+        x0 = jax.lax.dynamic_index_in_dim(q_in, b_idx, keepdims=False)
+        tgt = jax.lax.dynamic_index_in_dim(fp_out, b_idx, keepdims=False)
+        w_mask = jax.lax.dynamic_index_in_dim(valid, b_idx, keepdims=False)
+        it_key = jax.random.fold_in(root_key, it)
+        if bsig.drop:
+            xf = jax.lax.dynamic_index_in_dim(fp_in, b_idx, keepdims=False)
+            keep = jax.random.uniform(jax.random.fold_in(it_key, 9999), x0.shape) < 0.5
+            x0 = jnp.where(keep, x0, xf)
+
+        def full_loss(masks):
+            out = x0
+            for li, entry in enumerate(bsig.layers):
+                k = jax.random.fold_in(it_key, li)
+                acti = actis[li] if bsig.acti_quant else None
+                out = _layer_forward(entry, masks[li], out, weights[li], biases[li],
+                                     wq[li][0], wq[li][1], wq[li][2],
+                                     acti, drop_ratio, k)
+            se = jnp.sum(jnp.square(out - tgt), axis=1)
+            wgt = w_mask.reshape((-1,) + (1,) * (se.ndim - 1))
+            l2 = jnp.sum(se * wgt) / jnp.maximum(
+                jnp.sum(w_mask) * np.prod(se.shape[1:]), 1.0)
+            reg = 0.0
+            for m in masks:
+                reg = reg + adaround_reg(m, it.astype(jnp.float32),
+                                         float(bsig.total_iter))
+            return l2 + reg, l2
+
+        (_, l2), grads = jax.value_and_grad(full_loss, has_aux=True)(masks)
+        updates, opt_state = tx.update(grads, opt_state)
+        masks = optax.apply_updates(masks, updates)
+        return (masks, opt_state), l2
+
+    (masks, opt_state), losses = jax.lax.scan(
+        body, (masks, opt_state), start_it + jnp.arange(n_iter))
+    return masks, opt_state, losses
+
+
 def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
                 batch_size: int, max_epoch: int, total_iter: int,
                 acti_quant: bool = False, drop: bool = False,
@@ -267,9 +325,23 @@ def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
                   for s in specs)
     masks0 = tuple(init_round_mask(weight_rest(s.weight, s.qp.scale)) for s in specs)
 
-    masks, losses = _train_block(bsig, weights, biases, wq, actis, masks0,
-                                 q_in_d, fp_out_d, fp_in_d, valid,
-                                 jnp.int32(seed))
+    chunk = int(os.environ.get("DIPOORLET_TPU_SCAN_CHUNK", "0"))
+    if chunk and int(total_iter) > chunk:
+        tx_state = optax.adam(1e-3).init(masks0)
+        masks = masks0
+        loss_chunks = []
+        for start in range(0, int(total_iter), chunk):
+            n_iter = min(chunk, int(total_iter) - start)
+            masks, tx_state, losses = _train_block_chunk(
+                bsig, weights, biases, wq, actis, masks, tx_state,
+                jnp.int32(start), n_iter, q_in_d, fp_out_d, fp_in_d, valid,
+                jnp.int32(seed))
+            loss_chunks.append(losses)
+        losses = jnp.concatenate(loss_chunks)
+    else:
+        masks, losses = _train_block(bsig, weights, biases, wq, actis, masks0,
+                                     q_in_d, fp_out_d, fp_in_d, valid,
+                                     jnp.int32(seed))
     if multihost:
         # masks/losses are replicated over the global mesh; pull them to
         # host so downstream hard-rounding is a purely local computation

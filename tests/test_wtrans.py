@@ -437,3 +437,30 @@ def test_bias_correction_fused_matches_segmented(calib_env, monkeypatch):
         np.testing.assert_allclose(
             g_fused.get_initializer(name), g_seg.get_initializer(name),
             rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_scan_chunking_matches_single_scan(calib_env, monkeypatch):
+    """DIPOORLET_TPU_SCAN_CHUNK splits the reconstruction loop into
+    shorter scans (workaround for a TPU-worker fault on very long scans);
+    the learned weights must match the single-scan path."""
+    from dipoorlet_tpu.wtrans import adaround
+    data_dir, ws = calib_env
+    args = Args(act_quant="minmax", input_dir=data_dir, data_num=8,
+                ada_epoch=12, ada_bs=4, w_bit=4, a_bit=None)
+
+    def run(chunk):
+        if chunk:
+            monkeypatch.setenv("DIPOORLET_TPU_SCAN_CHUNK", chunk)
+        else:
+            monkeypatch.delenv("DIPOORLET_TPU_SCAN_CHUNK", raising=False)
+        g = _two_conv_model(seed=1)
+        g.output_dir = ws
+        act, wt = _ranges(g, data_dir)
+        return adaround(g, g.clone(), act, wt, args)
+
+    g_whole = run(None)
+    g_chunk = run("5")  # 12 iters -> chunks of 5/5/2
+    for name in ("w1", "w2"):
+        np.testing.assert_allclose(
+            g_whole.get_initializer(name), g_chunk.get_initializer(name),
+            rtol=1e-5, atol=1e-6, err_msg=name)
