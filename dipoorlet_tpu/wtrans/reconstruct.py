@@ -325,7 +325,19 @@ def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
                   for s in specs)
     masks0 = tuple(init_round_mask(weight_rest(s.weight, s.qp.scale)) for s in specs)
 
-    chunk = int(os.environ.get("DIPOORLET_TPU_SCAN_CHUNK", "0"))
+    env_chunk = os.environ.get("DIPOORLET_TPU_SCAN_CHUNK")
+    if env_chunk is not None:
+        chunk = int(env_chunk)
+    else:
+        # auto-chunk exactly the regime that repeatably crashed the TPU
+        # worker (kernel fault): a multi-layer block training a very long
+        # scan over large cached activations (BRECQ 2-conv block @224,
+        # 5000 steps — BASELINE.md round-4). Single-layer AdaRound at the
+        # same shapes is validated unchunked and keeps its cached programs.
+        step_bytes = (np.prod(q_in_d.shape[1:]) + np.prod(fp_out_d.shape[1:])
+                      + np.prod(fp_in_d.shape[1:])) * 4
+        chunk = 500 if (len(specs) > 1 and int(total_iter) > 1000
+                        and step_bytes > 64 * 2 ** 20) else 0
     if chunk and int(total_iter) > chunk:
         tx_state = optax.adam(1e-3).init(masks0)
         masks = masks0
