@@ -202,16 +202,25 @@ def _hist_kernel(idx_ref, out_ref, *, hi_n, lo_n, oh_dtype):
 
 def _hist_cfg(bins: int):
     """(variant, lo_n) for production calls: the probe's cached winner, or
-    the geometric-mean split with int8 one-hots before any probe ran."""
+    the geometric-mean split with int8 one-hots before any probe ran.
+    A malformed cached/env value ('variant:lo_n' expected) falls back to
+    the default instead of crashing the stats pass."""
     from .autotune import cached_value
     cfg = cached_value("pallas_hist_cfg", str(bins))
     if cfg:
-        variant, lo_s = cfg.split(":")
-        return variant, int(lo_s)
+        try:
+            variant, lo_s = cfg.split(":")
+            lo = int(lo_s)
+        except ValueError:
+            variant = lo = None
+        if variant in ("i8", "i16", "bf16") and lo and lo > 0:
+            return variant, lo
+        from ..utils.logging import logger
+        logger.warning("ignoring malformed pallas_hist_cfg %r "
+                       "(expected '<i8|i16|bf16>:<lo_n>')", cfg)
     return "i8", None
 
 
-@functools.partial(jax.jit, static_argnames=("bins", "variant", "lo_n"))
 def histogram_pallas(idx, bins: int, variant: str = None, lo_n: int = None):
     """Exact histogram of int32 bucket indices in [0, bins); entries < 0 are
     ignored (callers mark masked/padded elements with -1).  Drop-in for
@@ -220,10 +229,17 @@ def histogram_pallas(idx, bins: int, variant: str = None, lo_n: int = None):
     variant: 'i8' (int8 one-hots, s8 MXU), 'i16' (2-packed int16 compares
     into int8 one-hots), or 'bf16' (bf16 one-hots, f32 MXU).  lo_n
     overrides the digit split.  Defaults resolve from the cached probe
-    (pallas_hist_cfg)."""
+    (pallas_hist_cfg) — OUTSIDE the jit boundary, so a probe result or
+    env override recorded mid-process applies to the next call rather
+    than being baked into the first trace."""
     if variant is None:
         variant, cfg_lo = _hist_cfg(bins)
         lo_n = lo_n if lo_n is not None else cfg_lo
+    return _histogram_pallas_jit(idx, bins, variant, lo_n)
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "variant", "lo_n"))
+def _histogram_pallas_jit(idx, bins: int, variant: str, lo_n):
     hi_n, lo_n = _digit_split(bins, lo_n)
     if variant == "bf16" and max(hi_n, lo_n) > 256:
         variant = "i8"  # bf16 integers are exact only up to 256

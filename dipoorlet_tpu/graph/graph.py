@@ -326,10 +326,12 @@ class GraphIR:
         for node in nodes:
             d = [i for i in node.input if i]
             if node.op_type in ("If", "Loop", "Scan"):
-                from ..runtime.control_flow import subgraph_tensor_names
-                # only captures that some node here produces are edges;
-                # formal subgraph-internal names are not outer tensors
-                d += [t for t in subgraph_tensor_names(node)
+                from ..runtime.control_flow import node_captures
+                # only TRUE captures that some node here produces are
+                # edges; subgraph-internal names (which may legally shadow
+                # outer names, and would make spurious edges/cycles) are
+                # excluded by node_captures
+                d += [t for t in node_captures(node)
                       if t in all_outputs]
             deps[id(node)] = d
         order = []

@@ -91,8 +91,14 @@ def simplify_graph(graph: GraphIR, fold_constants: bool = True) -> GraphIR:
         if node.op_type in ("If", "Loop", "Scan"):
             # subgraph control flow: never folded; output shapes come from
             # abstract evaluation of the subgraph closure (captures resolve
-            # against the outer shapes known at this point of topo order)
-            from ..runtime.control_flow import abstract_outputs
+            # against the outer shapes known at this point of topo order).
+            # Captured names hit by Identity/Dropout elision must be
+            # rewritten inside the subgraphs too, or both this shape lookup
+            # and the executor's runtime capture would miss them.
+            from ..runtime.control_flow import (abstract_outputs,
+                                               rewrite_subgraph_captures)
+            if rename:
+                rewrite_subgraph_captures(node, rename)
 
             def lookup_aval(name):
                 if name in consts:

@@ -72,10 +72,12 @@ def roi_align(ctx, x, rois, batch_indices):
     mode = ctx.attrs.get("mode", "avg")
     if isinstance(mode, bytes):
         mode = mode.decode()
-    # The attr only exists from opset 16; older exports (torchvision
-    # aligned=False) have NO half-pixel offset in ORT, so a missing attr
-    # must default to output_half_pixel (offset 0), not half_pixel.
-    ctm = ctx.attrs.get("coordinate_transformation_mode", "output_half_pixel")
+    # The attr only exists from opset 16, where its spec default is
+    # 'half_pixel'; older exports (torchvision aligned=False) have NO
+    # half-pixel offset in ORT, so a missing attr defaults by opset:
+    # offset 0 (output_half_pixel) below 16, offset 0.5 at 16+.
+    default_ctm = "half_pixel" if (ctx.opset or 13) >= 16 else "output_half_pixel"
+    ctm = ctx.attrs.get("coordinate_transformation_mode", default_ctm)
     if isinstance(ctm, bytes):
         ctm = ctm.decode()
     offset = 0.5 if ctm == "half_pixel" else 0.0

@@ -8,7 +8,6 @@ from .mesh import (  # noqa: F401
     global_data_mesh,
     pad_to_multiple,
     reduce_clip_val_collective,
-    reduce_clip_val_spmd,
     replicated,
     shard_batch,
 )

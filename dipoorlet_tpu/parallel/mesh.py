@@ -174,8 +174,3 @@ def reduce_clip_val_collective(local_clip: Dict[str, list], act_quant: str):
         lo_r = np.mean(np.asarray(gathered_lo), axis=0)
         hi_r = np.mean(np.asarray(gathered_hi), axis=0)
     return {n: [np.float64(lo_r[i]), np.float64(hi_r[i])] for i, n in enumerate(names)}
-
-
-def reduce_clip_val_spmd(local_clip, mesh, act_quant, axis="data"):
-    """Deprecated alias retained for API stability."""
-    return reduce_clip_val_collective(local_clip, act_quant)

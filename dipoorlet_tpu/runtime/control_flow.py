@@ -157,6 +157,13 @@ def make_control_flow_fn(node, opset: int):
         # body inputs: (iteration_num, cond_in, *loop_vars)
         # body outputs: (cond_out, *loop_vars_out, *scan_outputs)
         n_loop_vars = len(body.formal_inputs) - 2
+        if not _loop_cond_out_trivially_true(body):
+            raise NotImplementedError(
+                f"Loop node {node.name}: body's cond_out "
+                f"'{body.outputs[0]}' is computed, not an Identity of "
+                f"cond_in / constant true — the loop may genuinely exit "
+                f"early, which lax.scan over a static trip count cannot "
+                f"express; refusing to silently run all {'{M}'} iterations")
 
         def loop_fn(ctx, lookup, trip_count=None, cond=None, *loop_vars):
             if trip_count is None:
@@ -250,6 +257,101 @@ def abstract_outputs(node, opset: int, lookup_aval):
         return fn(None, lookup, *full)
 
     return jax.eval_shape(_absfn, *[in_avals[i] for i in dyn_idx])
+
+
+def _loop_cond_out_trivially_true(body: SubPlan) -> bool:
+    """True when the Loop body's cond_out is provably constant-true: an
+    Identity/Cast chain from cond_in, a true initializer, or a true
+    Constant node.  This is the contract under which lowering Loop to a
+    fixed-trip-count lax.scan is exact; anything else could exit early
+    under ORT semantics and must fail loudly at build time (not return
+    silently-different values)."""
+    producers = {}
+    for n in body.graph.node:
+        for o in n.output:
+            if o:
+                producers[o] = n
+    name = body.outputs[0]
+    for _ in range(len(body.graph.node) + 1):
+        if len(body.formal_inputs) >= 2 and name == body.formal_inputs[1]:
+            return True  # cond_out == cond_in; scan re-feeds True each step
+        if name in body.initializers:
+            v = np.asarray(body.initializers[name]).reshape(-1)
+            return bool(v.size) and bool(v[0])
+        n = producers.get(name)
+        if n is None:
+            return False  # captured outer tensor: unprovable
+        if n.op_type in ("Identity", "Cast"):
+            name = n.input[0]
+            continue
+        if n.op_type == "Constant":
+            t = node_attrs(n).get("value")
+            if t is None:
+                return False
+            v = np.asarray(tensor_to_array(t)).reshape(-1)
+            return bool(v.size) and bool(v[0])
+        return False
+    return False
+
+
+def _attr_graphs(a):
+    return ([a.g] if a.g is not None and a.g.node else []) + list(a.graphs)
+
+
+def node_captures(node) -> set:
+    """Syntactic outer-scope captures of a control-flow node: names its
+    subgraphs reference but do not themselves produce (formal inputs,
+    initializers, node outputs — which shadow outer scope per ONNX spec).
+    Unlike control_flow_captures this never resolves ops, so it is safe
+    for structural passes (topo_sort) on graphs with unsupported ops."""
+    caps = set()
+    for a in node.attribute:
+        for g in _attr_graphs(a):
+            caps |= _graph_captures(g)
+    return caps
+
+
+def _graph_captures(g) -> set:
+    produced = {vi.name for vi in g.input} | {t.name for t in g.initializer}
+    for n in g.node:
+        produced.update(o for o in n.output if o)
+    caps = set()
+    for n in g.node:
+        caps.update(i for i in n.input if i and i not in produced)
+        for a in n.attribute:
+            for sg in _attr_graphs(a):
+                caps |= {c for c in _graph_captures(sg) if c not in produced}
+    caps.update(o.name for o in g.output if o.name and o.name not in produced)
+    return caps
+
+
+def rewrite_subgraph_captures(node, rename: dict) -> None:
+    """Apply an outer-scope rename map (Identity/Dropout elision,
+    graph/passes.py) to captured names inside a control-flow node's
+    subgraphs, recursively.  Names the subgraph itself produces shadow
+    the outer scope (ONNX allows this) and are left untouched."""
+    for a in node.attribute:
+        for g in _attr_graphs(a):
+            _rewrite_graph_captures(g, rename)
+
+
+def _rewrite_graph_captures(g, rename: dict) -> None:
+    produced = {vi.name for vi in g.input} | {t.name for t in g.initializer}
+    for n in g.node:
+        produced.update(o for o in n.output if o)
+    eff = {k: v for k, v in rename.items() if k not in produced}
+    if not eff:
+        return
+    for n in g.node:
+        for i, inp in enumerate(n.input):
+            if inp in eff:
+                n.input[i] = eff[inp]
+        for a in n.attribute:
+            for sg in _attr_graphs(a):
+                _rewrite_graph_captures(sg, eff)
+    for o in g.output:
+        if o.name in eff:
+            o.name = eff[o.name]
 
 
 def control_flow_captures(node, opset: int) -> set:

@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.graph import GraphIR, node_attrs
-from ..ops import OP_REGISTRY, OpContext
 from ..quant.qparams import compute_qparams
 from ..quant.quant_graph import DQ_SUFFIX
 from ..runtime.data import CalibDataset
@@ -122,20 +121,6 @@ def get_block_from_first(graph: GraphIR, node, args) -> List:
             if len(res) == 3:
                 return res
         node = nxt[0]
-
-
-def make_layer_apply(node):
-    """Returns apply(x, w, b) evaluating the node with given weight/bias.
-    For ConvTranspose, w is expected in the ONNX (C_in, C_out/g, ...) layout."""
-    fn = OP_REGISTRY[node.op_type]
-    ctx = OpContext(node_attrs(node), node=node)
-
-    def apply(x, w, b=None):
-        if b is None:
-            return fn(ctx, x, w)
-        return fn(ctx, x, w, b)
-
-    return apply
 
 
 def weight_qparams_for_node(node, clip_val, args):

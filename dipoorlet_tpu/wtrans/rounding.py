@@ -88,9 +88,3 @@ def weight_rest(weight, scale):
     s = _qp_broadcast(scale, weight.ndim)
     t = weight / s
     return t - jnp.floor(t)
-
-
-def l2_recon_loss(pred, tgt):
-    """(pred - tgt)^2 summed over axis 1, mean over the rest
-    (ada_quant_layer.py:113-114)."""
-    return jnp.mean(jnp.sum(jnp.square(pred - tgt), axis=1))

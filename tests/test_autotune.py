@@ -120,3 +120,35 @@ def test_failed_scan_probe_falls_back(isolated_cache, tiny, monkeypatch):
     monkeypatch.undo()
     mm2 = StatsRunner(Executor(g)).run_minmax(params, ds, batch_size=4)
     assert mm2 == mm
+
+
+def test_hist_cfg_malformed_env_falls_back(monkeypatch):
+    """A malformed DIPOORLET_TPU_PALLAS_HIST_CFG must fall back to the
+    default instead of crashing the stats pass (advisor round-4 finding);
+    resolution also happens OUTSIDE jit, so changed env applies per-call."""
+    from dipoorlet_tpu.calib.kernels import _hist_cfg
+    monkeypatch.setenv("DIPOORLET_TPU_PALLAS_HIST_CFG", "garbage")
+    assert _hist_cfg(2048) == ("i8", None)
+    monkeypatch.setenv("DIPOORLET_TPU_PALLAS_HIST_CFG", "notavariant:64")
+    assert _hist_cfg(2048) == ("i8", None)
+    monkeypatch.setenv("DIPOORLET_TPU_PALLAS_HIST_CFG", "bf16:zz")
+    assert _hist_cfg(2048) == ("i8", None)
+    monkeypatch.setenv("DIPOORLET_TPU_PALLAS_HIST_CFG", "bf16:64")
+    assert _hist_cfg(2048) == ("bf16", 64)
+
+
+def test_histogram_pallas_env_cfg_applies_per_call(monkeypatch):
+    """Counts stay exact through the default (env-resolved) path for two
+    different env configs within one process — the config is NOT baked
+    into the first trace."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from dipoorlet_tpu.calib.kernels import histogram_pallas
+    rng = np.random.RandomState(42)
+    idx = rng.randint(0, 512, 4000).astype(np.int32)
+    ref = np.bincount(idx, minlength=512)
+    for cfg in ("i8:16", "i8:64"):
+        monkeypatch.setenv("DIPOORLET_TPU_PALLAS_HIST_CFG", cfg)
+        with pltpu.force_tpu_interpret_mode():
+            h = np.asarray(histogram_pallas(jnp.asarray(idx), 512))
+        np.testing.assert_array_equal(h, ref)

@@ -219,3 +219,106 @@ def test_torchscript_if_export_parity(tmp_path, rng):
         out, _ = ex.forward(params, {"input": x})
         np.testing.assert_allclose(np.asarray(out["output"]), ref,
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_identity_capture_rename_into_subgraph(rng):
+    """Identity elision renames a tensor that an If subgraph CAPTURES;
+    simplify must rewrite the captured name inside the subgraph or both
+    shape inference and the runtime capture lookup miss it (advisor
+    round-4 finding)."""
+    then_g = oir.make_graph(
+        [oir.make_node("Mul", ["xi", "w"], ["then_out"], name="t_mul")],
+        "then", [], [_vi("then_out", [1, 4])])
+    else_g = oir.make_graph(
+        [oir.make_node("Sub", ["xi", "w"], ["else_out"], name="e_sub")],
+        "else", [], [_vi("else_out", [1, 4])])
+    nodes = [
+        oir.make_node("Identity", ["x"], ["xi"], name="idn"),
+        oir.make_node("ReduceSum", ["xi"], ["s"], name="rsum", keepdims=0),
+        oir.make_node("Greater", ["s", "zero"], ["cond"], name="gt"),
+        oir.make_node("If", ["cond"], ["y"], name="ifnode",
+                      then_branch=then_g, else_branch=else_g),
+    ]
+    inits = [
+        oir.array_to_tensor(np.asarray([2.0, 3.0, 4.0, 5.0], np.float32)
+                            .reshape(1, 4), "w"),
+        oir.array_to_tensor(np.float32(0.0), "zero"),
+    ]
+    g = GraphIR(oir.make_model(oir.make_graph(
+        nodes, "idcap", [_vi("x", [1, 4])], [_vi("y", [1, 4])],
+        initializer=inits)))
+    simplify_graph(g)  # raised "missing shape ... feeding control-flow" pre-fix
+    ex = Executor(g)
+    params = ex.init_params()
+    w = np.asarray([[2.0, 3.0, 4.0, 5.0]], np.float32)
+    x = np.abs(rng.randn(1, 4)).astype(np.float32)
+    out, _ = ex.forward(params, {"x": x})
+    np.testing.assert_allclose(np.asarray(out["y"]), x * w, rtol=1e-6)
+    out, _ = ex.forward(params, {"x": -x})
+    np.testing.assert_allclose(np.asarray(out["y"]), -x - w, rtol=1e-6)
+
+
+def test_subgraph_shadow_name_no_spurious_topo_edge(rng):
+    """A subgraph-INTERNAL tensor may legally shadow the name of an outer
+    node's output (ONNX scoping); it must not create a dependency edge.
+    Pre-fix, topo_sort raised a spurious-cycle error here because the If
+    appeared to depend on 'shadow', which is produced downstream of it."""
+    then_g = oir.make_graph(
+        [oir.make_node("Mul", ["x", "w"], ["shadow"], name="t_mul"),
+         oir.make_node("Add", ["shadow", "w"], ["then_out"], name="t_add")],
+        "then", [], [_vi("then_out", [1, 4])])
+    else_g = oir.make_graph(
+        [oir.make_node("Sub", ["x", "w"], ["else_out"], name="e_sub")],
+        "else", [], [_vi("else_out", [1, 4])])
+    nodes = [
+        oir.make_node("ReduceSum", ["x"], ["s"], name="rsum", keepdims=0),
+        oir.make_node("Greater", ["s", "zero"], ["cond"], name="gt"),
+        oir.make_node("If", ["cond"], ["y"], name="ifnode",
+                      then_branch=then_g, else_branch=else_g),
+        oir.make_node("Relu", ["y"], ["shadow"], name="outer_relu"),
+    ]
+    inits = [
+        oir.array_to_tensor(np.asarray([2.0, 3.0, 4.0, 5.0], np.float32)
+                            .reshape(1, 4), "w"),
+        oir.array_to_tensor(np.float32(0.0), "zero"),
+    ]
+    g = GraphIR(oir.make_model(oir.make_graph(
+        nodes, "shadowg", [_vi("x", [1, 4])], [_vi("shadow", [1, 4])],
+        initializer=inits)))
+    order = g.topo_sort()  # pre-fix: ValueError "unreachable inputs or a cycle"
+    names = [n.name for n in order]
+    assert names.index("ifnode") < names.index("outer_relu")
+    simplify_graph(g)
+    ex = Executor(g)
+    x = np.abs(rng.randn(1, 4)).astype(np.float32)
+    out, _ = ex.forward(ex.init_params(), {"x": x})
+    w = np.asarray([[2.0, 3.0, 4.0, 5.0]], np.float32)
+    np.testing.assert_allclose(np.asarray(out["shadow"]),
+                               np.maximum(x * w + w, 0), rtol=1e-6)
+
+
+def test_loop_early_exit_refused():
+    """A Loop whose body COMPUTES cond_out (genuine early exit) must fail
+    loudly at build time: lax.scan over the static trip count would
+    silently run all M iterations and differ from ORT."""
+    body = oir.make_graph(
+        [oir.make_node("Mul", ["st_in", "half"], ["st_out"], name="b_mul"),
+         oir.make_node("Cast", ["iter"], ["it_f"], name="b_cast", to=int(F)),
+         oir.make_node("Less", ["it_f", "lim"], ["cond_out"], name="b_less")],
+        "body",
+        [_vi("iter", [], oir.DataType.INT64),
+         _vi("cond_in", [], oir.DataType.BOOL), _vi("st_in", [1, 3])],
+        [_vi("cond_out", [], oir.DataType.BOOL), _vi("st_out", [1, 3])])
+    nodes = [oir.make_node("Loop", ["m", "cond0", "st0"], ["y"],
+                           name="loop", body=body)]
+    inits = [
+        oir.array_to_tensor(np.int64(4), "m"),
+        oir.array_to_tensor(np.asarray(True), "cond0"),
+        oir.array_to_tensor(np.ones((1, 3), np.float32), "st0"),
+        oir.array_to_tensor(np.float32(0.5), "half"),
+        oir.array_to_tensor(np.float32(2.0), "lim"),
+    ]
+    g = GraphIR(oir.make_model(oir.make_graph(
+        nodes, "earlyexit", [], [_vi("y", [1, 3])], initializer=inits)))
+    with pytest.raises(NotImplementedError, match="cond_out"):
+        simplify_graph(g)

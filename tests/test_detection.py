@@ -292,3 +292,29 @@ def test_detection_cli_e2e(tmp_path):
     cos = json.load(open(os.path.join(out, "model_res.json.rank0")))
     assert all(v[0] > 0.97 for v in cos.values()), cos
     assert os.path.exists(os.path.join(out, "quant_model.onnx"))
+
+
+def test_roi_align_opset16_default_is_half_pixel():
+    """Opset>=16 spec default for a MISSING coordinate_transformation_mode
+    is 'half_pixel' (offset 0.5); below 16 the attr doesn't exist and ORT
+    samples with no offset. The default must switch on ctx.opset
+    (advisor round-4 finding)."""
+    rng = np.random.RandomState(11)
+    x = rng.randn(1, 2, 8, 8).astype(np.float32)
+    rois = np.array([[1.0, 1.0, 6.0, 6.0]], np.float32)
+    bi = np.array([0], np.int64)
+    base = {"output_height": 2, "output_width": 2, "sampling_ratio": 2,
+            "spatial_scale": 1.0, "mode": "avg"}
+    run = lambda attrs, opset: np.asarray(
+        OP_REGISTRY["RoiAlign"](OpContext(dict(attrs), opset=opset),
+                                jnp.asarray(x), jnp.asarray(rois),
+                                jnp.asarray(bi)))
+    out16_default = run(base, 16)
+    out16_explicit = run({**base,
+                          "coordinate_transformation_mode": "half_pixel"}, 16)
+    out13_default = run(base, 13)
+    out13_explicit = run({**base,
+                          "coordinate_transformation_mode": "output_half_pixel"}, 13)
+    np.testing.assert_array_equal(out16_default, out16_explicit)
+    np.testing.assert_array_equal(out13_default, out13_explicit)
+    assert np.abs(out16_default - out13_default).max() > 1e-4
