@@ -163,76 +163,31 @@ def _layer_forward(sig_entry, mask, x, w, b, scale, q_min, q_max, acti, drop_rat
     return out
 
 
-@partial(jax.jit, static_argnames=("bsig",))
-def _train_block(bsig: _BlockSig, weights, biases, wq, actis, masks0,
-                 q_in, fp_out, fp_in, valid, seed):
-    """Run the full reconstruction loop on device; returns (masks, losses).
-
-    Activation tensors arrive stacked (n_batches, bs, *shape) with the bs
-    axis (optionally) sharded over the mesh's 'data' axis: indexing the
-    leading (replicated) axis per step keeps every minibatch sharded
-    exactly like its source array, so the gradient psum XLA inserts in the
-    backward is the whole cross-chip communication (DDP's allreduce,
-    reference adaround.py:121)."""
-    tx = optax.adam(1e-3)  # torch.optim.Adam defaults (adaround.py:120)
-    opt_state = tx.init(masks0)
-    root_key = jax.random.PRNGKey(seed)
-    n_batches = bsig.n_batches
-    drop_ratio = 0.5
-
-    def body(carry, it):
-        masks, opt_state = carry
-        b_idx = it % n_batches
-        x0 = jax.lax.dynamic_index_in_dim(q_in, b_idx, keepdims=False)
-        tgt = jax.lax.dynamic_index_in_dim(fp_out, b_idx, keepdims=False)
-        w_mask = jax.lax.dynamic_index_in_dim(valid, b_idx, keepdims=False)
-        it_key = jax.random.fold_in(root_key, it)
-        if bsig.drop:
-            xf = jax.lax.dynamic_index_in_dim(fp_in, b_idx, keepdims=False)
-            keep = jax.random.uniform(jax.random.fold_in(it_key, 9999), x0.shape) < 0.5
-            x0 = jnp.where(keep, x0, xf)
-
-        def full_loss(masks):
-            out = x0
-            for li, entry in enumerate(bsig.layers):
-                k = jax.random.fold_in(it_key, li)
-                acti = actis[li] if bsig.acti_quant else None
-                out = _layer_forward(entry, masks[li], out, weights[li], biases[li],
-                                     wq[li][0], wq[li][1], wq[li][2],
-                                     acti, drop_ratio, k)
-            se = jnp.sum(jnp.square(out - tgt), axis=1)
-            wgt = w_mask.reshape((-1,) + (1,) * (se.ndim - 1))
-            l2 = jnp.sum(se * wgt) / jnp.maximum(
-                jnp.sum(w_mask) * np.prod(se.shape[1:]), 1.0)
-            reg = 0.0
-            for m in masks:
-                reg = reg + adaround_reg(m, it.astype(jnp.float32),
-                                         float(bsig.total_iter))
-            return l2 + reg, l2
-
-        (_, l2), grads = jax.value_and_grad(full_loss, has_aux=True)(masks)
-        updates, opt_state = tx.update(grads, opt_state)
-        masks = optax.apply_updates(masks, updates)
-        return (masks, opt_state), l2
-
-    (masks, _), losses = jax.lax.scan(body, (masks0, opt_state),
-                                      jnp.arange(bsig.total_iter))
-    return masks, losses
-
-
 @partial(jax.jit, static_argnames=("bsig", "n_iter"))
 def _train_block_chunk(bsig: _BlockSig, weights, biases, wq, actis, masks,
                        opt_state, start_it, n_iter, q_in, fp_out, fp_in,
                        valid, seed):
-    """One chunk of the reconstruction loop: same step math as
-    _train_block, but the scan covers [start_it, start_it + n_iter) of the
-    GLOBAL iteration range (minibatch rotation, PRNG folding and the
-    β-annealed regularizer all key off the global step).  Exists because a
-    single 5000-step scan at large activation shapes repeatably crashed
-    the relay-attached TPU worker (BASELINE.md); DIPOORLET_TPU_SCAN_CHUNK
-    splits the loop into shorter programs with the optimizer state carried
-    across dispatches."""
-    tx = optax.adam(1e-3)
+    """THE reconstruction trainer — the only step-body definition.
+
+    Runs iterations [start_it, start_it + n_iter) of the GLOBAL range as
+    one on-device lax.scan: minibatch rotation, PRNG folding and the
+    β-annealed regularizer all key off the global step, so a sequence of
+    chunked calls with carried (masks, opt_state) is bit-identical to one
+    n_iter = total_iter call (parity-tested).  The unchunked path IS the
+    n_iter = total_iter special case — there is deliberately no separate
+    single-scan trainer to keep in sync.
+
+    Activation tensors arrive stacked (n_batches, bs, *shape) with the bs
+    axis (optionally) sharded over the mesh's 'data' axis: indexing the
+    leading (replicated) axis per step keeps every minibatch sharded like
+    its source array, so the gradient psum XLA inserts in the backward is
+    the whole cross-chip communication (DDP's allreduce, reference
+    adaround.py:121).  Chunking exists because a single 5000-step scan at
+    large shapes repeatably crashes the relay-attached TPU worker
+    (docs/SCAN_FAULT_REPRO.md); the jit static key is (bsig, n_iter), so
+    identically-shaped layers and every equal-length chunk reuse one
+    compiled program."""
+    tx = optax.adam(1e-3)  # torch.optim.Adam defaults (adaround.py:120)
     root_key = jax.random.PRNGKey(seed)
     n_batches = bsig.n_batches
     drop_ratio = 0.5
@@ -275,6 +230,18 @@ def _train_block_chunk(bsig: _BlockSig, weights, biases, wq, actis, masks,
     (masks, opt_state), losses = jax.lax.scan(
         body, (masks, opt_state), start_it + jnp.arange(n_iter))
     return masks, opt_state, losses
+
+
+def _auto_chunk(specs, q_in_d, fp_out_d, fp_in_d, total_iter, acti_quant, drop):
+    """Chunk length for the training scan, 0 = unchunked.
+
+    Guards the repeatable relay-TPU worker kernel fault on very long
+    scans (docs/SCAN_FAULT_REPRO.md): chunking splits the loop into
+    shorter identical programs with carried optimizer state."""
+    step_bytes = (np.prod(q_in_d.shape[1:]) + np.prod(fp_out_d.shape[1:])
+                  + np.prod(fp_in_d.shape[1:])) * 4
+    return 500 if (len(specs) > 1 and total_iter > 1000
+                   and step_bytes > 64 * 2 ** 20) else 0
 
 
 def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
@@ -329,31 +296,21 @@ def learn_block(specs: List[LayerSpec], q_in: np.ndarray, fp_out: np.ndarray,
     if env_chunk is not None:
         chunk = int(env_chunk)
     else:
-        # auto-chunk exactly the regime that repeatably crashed the TPU
-        # worker (kernel fault): a multi-layer block training a very long
-        # scan over large cached activations (BRECQ 2-conv block @224,
-        # 5000 steps — BASELINE.md round-4). Single-layer AdaRound at the
-        # same shapes is validated unchunked and keeps its cached programs.
-        step_bytes = (np.prod(q_in_d.shape[1:]) + np.prod(fp_out_d.shape[1:])
-                      + np.prod(fp_in_d.shape[1:])) * 4
-        chunk = 500 if (len(specs) > 1 and int(total_iter) > 1000
-                        and step_bytes > 64 * 2 ** 20) else 0
-    if chunk and int(total_iter) > chunk:
-        tx_state = optax.adam(1e-3).init(masks0)
-        masks = masks0
-        loss_chunks = []
-        for start in range(0, int(total_iter), chunk):
-            n_iter = min(chunk, int(total_iter) - start)
-            masks, tx_state, losses = _train_block_chunk(
-                bsig, weights, biases, wq, actis, masks, tx_state,
-                jnp.int32(start), n_iter, q_in_d, fp_out_d, fp_in_d, valid,
-                jnp.int32(seed))
-            loss_chunks.append(losses)
-        losses = jnp.concatenate(loss_chunks)
-    else:
-        masks, losses = _train_block(bsig, weights, biases, wq, actis, masks0,
-                                     q_in_d, fp_out_d, fp_in_d, valid,
-                                     jnp.int32(seed))
+        chunk = _auto_chunk(specs, q_in_d, fp_out_d, fp_in_d, int(total_iter),
+                            acti_quant, drop)
+    if not (chunk and int(total_iter) > chunk):
+        chunk = int(total_iter)  # unchunked = the single full-range chunk
+    tx_state = optax.adam(1e-3).init(masks0)
+    masks = masks0
+    loss_chunks = []
+    for start in range(0, int(total_iter), chunk):
+        n_iter = min(chunk, int(total_iter) - start)
+        masks, tx_state, losses = _train_block_chunk(
+            bsig, weights, biases, wq, actis, masks, tx_state,
+            jnp.int32(start), n_iter, q_in_d, fp_out_d, fp_in_d, valid,
+            jnp.int32(seed))
+        loss_chunks.append(losses)
+    losses = jnp.concatenate(loss_chunks) if len(loss_chunks) > 1 else loss_chunks[0]
     if multihost:
         # masks/losses are replicated over the global mesh; pull them to
         # host so downstream hard-rounding is a purely local computation
