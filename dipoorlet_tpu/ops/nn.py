@@ -202,9 +202,14 @@ def max_pool(ctx, x):
     strides = ctx.attrs.get("strides", [1] * n_spatial)
     dilations = ctx.attrs.get("dilations", [1] * n_spatial)
     pads = _pool_out_and_pads(ctx, x.shape[2:], kernel, strides, dilations)
-    neg_inf = jnp.array(-jnp.inf, dtype=x.dtype)
+    # identity for max: -inf for floats, dtype-min for ints (the int8/uint8
+    # passthrough MaxPool the QOperator exporter emits runs here directly)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        ident = jnp.array(jnp.iinfo(x.dtype).min, dtype=x.dtype)
+    else:
+        ident = jnp.array(-jnp.inf, dtype=x.dtype)
     out = lax.reduce_window(
-        x, neg_inf, lax.max,
+        x, ident, lax.max,
         window_dimensions=(1, 1) + tuple(kernel),
         window_strides=(1, 1) + tuple(strides),
         padding=((0, 0), (0, 0)) + tuple(pads),

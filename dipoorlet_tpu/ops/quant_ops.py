@@ -6,6 +6,7 @@ These execute the fake-quant graphs produced by dipoorlet_tpu.quant
 /root/reference/dipoorlet/quantize.py:197-239)."""
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .registry import register
@@ -84,3 +85,79 @@ class OpContextWithAxis:
         self.node = ctx.node
         self.statics = ctx.statics
         self.opset = ctx.opset
+
+
+def _dq(ctx, x, s, zp):
+    return dequantize_linear(ctx, x, s, zp)
+
+
+@register("QLinearAdd")
+def qlinear_add(ctx, a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp):
+    """com.microsoft QLinearAdd: float-emulated (dequant, add, requant) —
+    matches ORT within rounding."""
+    return quantize_linear(ctx, _dq(ctx, a, a_s, a_zp) + _dq(ctx, b, b_s, b_zp),
+                           y_s, y_zp)
+
+
+@register("QLinearMul")
+def qlinear_mul(ctx, a, a_s, a_zp, b, b_s, b_zp, y_s, y_zp):
+    return quantize_linear(ctx, _dq(ctx, a, a_s, a_zp) * _dq(ctx, b, b_s, b_zp),
+                           y_s, y_zp)
+
+
+@register("QLinearAveragePool")
+def qlinear_average_pool(ctx, x, x_s, x_zp, y_s, y_zp):
+    from .nn import average_pool
+    return quantize_linear(ctx, average_pool(ctx, _dq(ctx, x, x_s, x_zp)),
+                           y_s, y_zp)
+
+
+@register("QLinearGlobalAveragePool")
+def qlinear_global_average_pool(ctx, x, x_s, x_zp, y_s, y_zp):
+    from .nn import global_average_pool
+    return quantize_linear(ctx, global_average_pool(ctx, _dq(ctx, x, x_s, x_zp)),
+                           y_s, y_zp)
+
+
+@register("QLinearSigmoid")
+def qlinear_sigmoid(ctx, x, x_s, x_zp, y_s, y_zp):
+    return quantize_linear(ctx, jax.nn.sigmoid(_dq(ctx, x, x_s, x_zp)),
+                           y_s, y_zp)
+
+
+@register("QLinearLeakyRelu")
+def qlinear_leaky_relu(ctx, x, x_s, x_zp, y_s, y_zp):
+    alpha = ctx.attrs.get("alpha", 0.01)
+    xf = _dq(ctx, x, x_s, x_zp)
+    return quantize_linear(ctx, jnp.where(xf >= 0, xf, alpha * xf), y_s, y_zp)
+
+
+@register("QLinearConcat")
+def qlinear_concat(ctx, y_s, y_zp, *parts):
+    """Inputs after (Y_scale, Y_zp) come in (tensor, scale, zp) triples."""
+    axis = ctx.attrs.get("axis", 1)
+    fps = [_dq(ctx, parts[i], parts[i + 1], parts[i + 2])
+           for i in range(0, len(parts), 3)]
+    return quantize_linear(ctx, jnp.concatenate(fps, axis=axis), y_s, y_zp)
+
+
+@register("QGemm")
+def qgemm(ctx, a, a_s, a_zp, b, b_s, b_zp, c=None, y_s=None, y_zp=None):
+    """com.microsoft QGemm: y = alpha*op(A)op(B) + C with C int32 at scale
+    alpha*a_scale*b_scale (beta pre-folded by the exporter).  With
+    y_scale/y_zp present the output is requantized, else fp32."""
+    alpha = float(ctx.attrs.get("alpha", 1.0))
+    af = _dq(ctx, a, a_s, a_zp)
+    bf = _dq(ctx, b, b_s, b_zp)
+    if ctx.attrs.get("transA", 0):
+        af = jnp.swapaxes(af, -1, -2)
+    if ctx.attrs.get("transB", 0):
+        bf = jnp.swapaxes(bf, -1, -2)
+    y = alpha * jnp.matmul(af, bf, preferred_element_type=jnp.float32)
+    if c is not None:
+        c_scale = (alpha * jnp.asarray(a_s, jnp.float32).reshape(())
+                   * jnp.asarray(b_s, jnp.float32).reshape(-1))
+        y = y + c.astype(jnp.float32) * c_scale
+    if y_s is None:
+        return y
+    return quantize_linear(ctx, y, y_s, y_zp)
