@@ -7,6 +7,9 @@ Prints ONE JSON line:
    "extra": {per-pass seconds, adaround seconds, achieved FLOP/s,
              fraction-of-roofline vs the chip's bf16 peak and HBM bw}}
 
+`value` is the MEDIAN of >=3 fresh-seed fused passes (relay-cache-proof);
+extra.band_samples_per_s carries the [min, max] band of those reps.
+
 vs_baseline compares against a reference-architecture emulation measured
 once on this host and cached: per-sample batch-1 torch-CPU forward with
 every intermediate tensor pulled to host + per-tensor numpy
@@ -75,13 +78,15 @@ def ensure_model(img=IMG):
     return path
 
 
-def ensure_data(img=IMG, n=N_SAMPLES):
-    data_dir = os.path.join(CACHE, f"calib_{img}_{n}")
+def ensure_data(img=IMG, n=N_SAMPLES, seed=0):
+    tag = f"calib_{img}_{n}" if seed == 0 else f"calib_{img}_{n}_s{seed}"
+    data_dir = os.path.join(CACHE, tag)
     marker = os.path.join(data_dir, ".done")
     if not os.path.exists(marker):
         from dipoorlet_tpu.runtime.data import make_synthetic_dataset
-        log("synthesizing calibration set ...")
-        make_synthetic_dataset(data_dir, {"input": [1, 3, img, img]}, n, seed=0)
+        log(f"synthesizing calibration set (seed {seed}) ...")
+        make_synthetic_dataset(data_dir, {"input": [1, 3, img, img]}, n,
+                               seed=seed)
         open(marker, "w").write("ok")
     return data_dir
 
@@ -218,10 +223,30 @@ def measure_ours(extra):
         log(f"bf16 fused pass @ batch {b}: {sweep[b]:.2f}s "
             f"({N_SAMPLES / sweep[b]:.1f} samples/s)")
     best_b = min(sweep, key=sweep.get)
-    t_fused = sweep[best_b]
-    extra["fused_pass_s"] = t_fused
     extra["batch_sweep_bf16_s"] = {str(k): v for k, v in sweep.items()}
     extra["best_batch"] = best_b
+
+    # Headline = MEDIAN of >=3 fused passes, each on FRESH-SEED data the
+    # axon relay's content-addressed execution cache cannot serve (seeds
+    # drawn from os.urandom per bench run), at the sweep-winning batch.
+    # A single-run headline let relay variance set the claim (r4 verdict
+    # weak #2: driver measured 526 samples/s against a quoted 588).
+    reps = []
+    for _ in range(3):
+        seed = 1000 + int.from_bytes(os.urandom(2), "little")
+        rep_dir = ensure_data(seed=seed)
+        rep_ds = CalibDataset(rep_dir, ex.input_shapes(), N_SAMPLES)
+        t0 = time.time()
+        runner16.run_minmax_hist(params, rep_ds, BINS, batch_size=best_b)
+        reps.append(round(time.time() - t0, 3))
+        log(f"bf16 fused pass, fresh seed {seed}: {reps[-1]:.2f}s "
+            f"({N_SAMPLES / reps[-1]:.1f} samples/s)")
+        shutil.rmtree(rep_dir, ignore_errors=True)
+    t_fused = float(np.median(reps))
+    extra["fused_pass_s"] = round(t_fused, 3)
+    extra["fused_pass_reps_s"] = reps
+    extra["band_samples_per_s"] = [round(N_SAMPLES / max(reps), 1),
+                                   round(N_SAMPLES / min(reps), 1)]
     # evidence for the bf16 default: worst relative clip-range drift vs f32
     drift = 0.0
     for name, v in mm.items():

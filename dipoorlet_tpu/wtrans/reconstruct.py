@@ -235,9 +235,16 @@ def _train_block_chunk(bsig: _BlockSig, weights, biases, wq, actis, masks,
 def _auto_chunk(specs, q_in_d, fp_out_d, fp_in_d, total_iter, acti_quant, drop):
     """Chunk length for the training scan, 0 = unchunked.
 
-    Guards the repeatable relay-TPU worker kernel fault on very long
-    scans (docs/SCAN_FAULT_REPRO.md): chunking splits the loop into
-    shorter identical programs with carried optimizer state."""
+    Fences the repeatable relay-TPU worker kernel fault on long
+    multi-layer-block scans.  The condition is MEASURED, not a proxy
+    (round-5 bisect, docs/SCAN_FAULT_REPRO.md + SCAN_FAULT_PROBE.json):
+    every isolated scan passes — including the exact crash-shape program
+    — and in the full pipeline the largest single-layer blocks pass
+    unchunked while the 2-conv block at >64 MB step activations crashes
+    at 5000 iters (r4 and r5).  So the fence keys on exactly that
+    regime: multi-layer AND long AND large-step; activation bytes alone
+    were shown NOT to discriminate (the passing single-layer case moves
+    3x more bytes than the crashing 2-conv case)."""
     step_bytes = (np.prod(q_in_d.shape[1:]) + np.prod(fp_out_d.shape[1:])
                   + np.prod(fp_in_d.shape[1:])) * 4
     return 500 if (len(specs) > 1 and total_iter > 1000

@@ -35,7 +35,12 @@ CONFIGS = {
     "adaround224": (1, (3, 224, 224), 64, 64, 64, 5000, False),
     # crash regime at half the scan length: scan-length threshold
     "brecq224_2500": (2, (64, 56, 56), 64, 32, 64, 2500, True),
+    # the real BasicBlock program: fused ReLU after each conv + biases
+    # (the plain brecq224 config lacks both and did NOT crash; the full
+    # CLI block DID — isolate program structure vs pipeline context)
+    "brecq224_relu": (2, (64, 56, 56), 64, 32, 64, 5000, True),
 }
+RELU_CONFIGS = {"brecq224_relu"}
 
 
 def run_one(name, iters_override=None, cpu=False):
@@ -78,10 +83,13 @@ def run_one(name, iters_override=None, cpu=False):
         qp = compute_qparams(qw, w.reshape(cout, -1).min(-1),
                              w.reshape(cout, -1).max(-1))
         aqp = compute_qparams(qi, -3.0, 3.0) if drop else None
+        relu = name in RELU_CONFIGS
+        bias = jnp.asarray((rng.randn(cout) * 0.05).astype(np.float32)) \
+            if relu else None
         specs.append(LayerSpec(node_sig=node_signature(node),
-                               weight=jnp.asarray(w), bias=None, qp=qp,
+                               weight=jnp.asarray(w), bias=bias, qp=qp,
                                per_channel=True, transposed=False,
-                               relu=False, acti_qp=aqp))
+                               relu=relu, acti_qp=aqp))
     q_in = rng.randn(n, *in_shape).astype(np.float32)
     fp_in = (q_in + 0.01 * rng.randn(*q_in.shape)).astype(np.float32) \
         if drop else None
