@@ -58,6 +58,62 @@ def ensure_bert(seq: int) -> str:
     return path
 
 
+def run_full_pipeline(model_path, data_dir, samples, deploy="magicmind",
+                      cpu=False):
+    """Whole-CLI transformer run (round-5 verdict item 6): calibration +
+    SmoothQuant + profiling + deploy + QOperator export on bert-base,
+    with a per-phase wall split captured from the CLI's own phase logs.
+    Deploy target magicmind: the one platform whose quant_nodes include
+    MatMul, so the QOP model actually quantizes the attention/FFN
+    matmuls (trt's table has no MatMul — a bert QOP there is vacuous)."""
+    import datetime
+    import glob
+    import re
+
+    from dipoorlet_tpu.__main__ import main as cli_main
+
+    out_dir = os.path.join(CACHE, "bert_full_pipeline_out")
+    argv = ["-M", model_path, "-I", data_dir, "-O", out_dir,
+            "-N", str(samples), "-A", "hist", "-D", deploy,
+            "--batch_size", "8", "--optim_transformer", "--smooth_quant",
+            "--quant_format", "QOP"]
+    if cpu:
+        argv.append("--cpu")
+    t0 = time.time()
+    cli_main(argv)
+    wall = time.time() - t0
+
+    # per-phase split from the CLI's own log file timestamps (setup_logger
+    # clears foreign handlers, so an attached spy handler never survives)
+    pat = re.compile(r"\[(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) .*: INFO "
+                     r"(Do tensor calibration|Weight transform|Profiling"
+                     r"|Deploy to \w+|Total time cost)")
+    marks = []
+    logf = sorted(glob.glob(os.path.join(out_dir, "log-*.txt")))[-1]
+    for line in open(logf):
+        m = pat.search(line)
+        if m:
+            ts = datetime.datetime.strptime(m.group(1), "%Y-%m-%d %H:%M:%S")
+            marks.append((ts, m.group(2)))
+    phases = {}
+    for (t_a, name), (t_b, _) in zip(marks, marks[1:]):
+        phases[name] = round(phases.get(name, 0.0)
+                             + (t_b - t_a).total_seconds(), 1)
+    qop_path = os.path.join(out_dir, "qop_model.onnx")
+    from dipoorlet_tpu.onnx_ir import load_model
+    ops = {}
+    for n in load_model(qop_path).graph.node:
+        ops[n.op_type] = ops.get(n.op_type, 0) + 1
+    return {
+        "cmd": "python -m dipoorlet_tpu " + " ".join(argv),
+        "wall_s": round(wall, 1),
+        "phase_split_s": phases,
+        "artifacts": sorted(os.listdir(out_dir)),
+        "qop_quantized_matmuls": ops.get("QLinearMatMul", 0),
+        "qop_op_histogram": {k: v for k, v in sorted(ops.items())},
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -69,6 +125,9 @@ def main():
     ap.add_argument("--chunk_sweep", action="store_true",
                     help="also time warm passes at stats_chunk 256/512/1024 "
                     "(3 extra compiles; persistent-cached)")
+    ap.add_argument("--full", action="store_true",
+                    help="run the WHOLE pipeline (smooth_quant + profiling "
+                    "+ deploy + QOP) and write TRANSFORMER_FULL_PIPELINE.json")
     args = ap.parse_args()
 
     if not args.cpu and os.environ.get("JAX_PLATFORMS", "") == "axon":
@@ -86,6 +145,20 @@ def main():
             ids = rng.randint(0, VOCAB, size=(1, args.seq)).astype(np.float32)
             save_sample(data_dir, "input", i, ids)
         open(os.path.join(data_dir, ".done"), "w").write("ok")
+
+    if args.full:
+        import jax
+        res = run_full_pipeline(model_path, data_dir, args.samples,
+                                cpu=args.cpu)
+        res.update({"model": "bert-base (random init, 109.5M params)",
+                    "seq": args.seq, "samples": args.samples,
+                    "backend": jax.devices()[0].platform,
+                    "device_kind": getattr(jax.devices()[0], "device_kind", "?")})
+        out_json = os.path.join(ROOT, "docs", "TRANSFORMER_FULL_PIPELINE.json")
+        with open(out_json, "w") as f:
+            json.dump(res, f, indent=2)
+        print(json.dumps(res))
+        return
 
     out_dir = os.path.join(CACHE, "bert_budget_out")
     argv = ["-M", model_path, "-I", data_dir, "-O", out_dir,
