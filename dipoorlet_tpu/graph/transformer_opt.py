@@ -144,12 +144,110 @@ def _match_gelu(g: GraphIR, erf):
     return fused, [div, erf, add1, mul_x, mul_half]
 
 
+def _shape(g: GraphIR, name):
+    return g.tensor_name_shape_map.get(name) or []
+
+
+def _match_attention(g: GraphIR, softmax):
+    """softmax: Softmax(axis=-1) inside the exported eager-attention core
+
+        scores = MatMul(q, kT) [/ sqrt(dh)] [+ mask]
+        ctx    = MatMul(Softmax(scores), v)
+        out    = Reshape(Transpose(ctx, 0,2,1,3), (B, S, H*dh))
+
+    Fuses the whole chain (7-9 nodes) into ONE FusedAttention node —
+    the TPU-native analogue of ORT's attention fusion (reference
+    __main__.py:85-89): XLA sees a single softmax-attention block it
+    schedules natively, and transformer calibration taps drop the
+    interior score/prob tensors exactly as the reference's optimizer
+    does.  Returns (fused_node, interior_nodes) or None."""
+    s_in = softmax.input[0]
+    nd = len(_shape(g, s_in))
+    axis = node_attrs(softmax).get("axis", -1)
+    if nd != 4 or axis not in (-1, nd - 1):
+        return None
+    interior = [softmax]
+    scale = 1.0
+    mask = None
+    cur = g.output_map.get(s_in)
+    # optional mask add (other operand may be any tensor: fold-resistant
+    # constant extended-attention-mask or a dynamic mask input)
+    if cur is not None and cur.op_type == "Add" \
+            and _only_consumer(g, cur.output[0],
+                               "Softmax") is softmax:
+        nxt = g.output_map.get(cur.input[0])
+        if nxt is not None and nxt.op_type in ("Div", "Mul", "MatMul"):
+            mask = cur.input[1]
+            interior.append(cur)
+            cur = nxt
+        else:
+            nxt = g.output_map.get(cur.input[1])
+            if nxt is not None and nxt.op_type in ("Div", "Mul", "MatMul"):
+                mask = cur.input[0]
+                interior.append(cur)
+                cur = nxt
+            else:
+                return None
+    if cur is None:
+        return None
+    # optional scalar scaling
+    if cur.op_type in ("Div", "Mul"):
+        c = _scalar_init(g, cur.input[1])
+        if c is None or len(g.input_map.get(cur.output[0], [])) != 1 \
+                or cur.output[0] in g.network_outputs:
+            return None
+        scale = (1.0 / c) if cur.op_type == "Div" else c
+        interior.append(cur)
+        cur = g.output_map.get(cur.input[0])
+        if cur is None:
+            return None
+    if cur.op_type != "MatMul" \
+            or len(g.input_map.get(cur.output[0], [])) != 1 \
+            or cur.output[0] in g.network_outputs:
+        return None
+    scores_mm = cur
+    q_name, k_name = scores_mm.input[0], scores_mm.input[1]
+    if len(_shape(g, q_name)) != 4:
+        return None
+    # absorb the key transpose (B,H,S,dh)->(B,H,dh,S) when it is ours alone
+    k_transposed = 1
+    kt = g.output_map.get(k_name)
+    if kt is not None and kt.op_type == "Transpose" \
+            and list(node_attrs(kt).get("perm", [])) == [0, 1, 3, 2] \
+            and len(g.input_map.get(k_name, [])) == 1 \
+            and k_name not in g.network_outputs:
+        k_name = kt.input[0]
+        k_transposed = 0
+        interior.append(kt)
+
+    ctx_mm = _only_consumer(g, softmax.output[0], "MatMul")
+    if ctx_mm is None or ctx_mm.input[0] != softmax.output[0]:
+        return None
+    v_name = ctx_mm.input[1]
+    if len(_shape(g, v_name)) != 4:
+        return None
+    tr = _only_consumer(g, ctx_mm.output[0], "Transpose")
+    if tr is None or list(node_attrs(tr).get("perm", [])) != [0, 2, 1, 3]:
+        return None
+    rs = _only_consumer(g, tr.output[0], "Reshape")
+    if rs is None or len(_shape(g, rs.output[0])) != 3:
+        return None
+    interior += [scores_mm, ctx_mm, tr, rs]
+    inputs = [q_name, k_name, v_name] + ([mask] if mask is not None else [])
+    fused = make_node("FusedAttention", inputs, [rs.output[0]],
+                      name=scores_mm.name + "_attn_fused",
+                      scale=float(scale), k_transposed=k_transposed)
+    return fused, interior
+
+
 def optimize_transformer(g: GraphIR) -> int:
-    """In-place LayerNorm + GELU fusion; returns the number of fused
-    patterns.  Call after simplify_graph (shape maps populated)."""
+    """In-place LayerNorm + GELU + attention fusion; returns the number
+    of fused patterns.  Call after simplify_graph (shape maps
+    populated)."""
     fused_count = 0
     for matcher, anchor_op in ((_match_layer_norm, "ReduceMean"),
-                               (_match_gelu, "Erf")):
+                               (_match_gelu, "Erf"),
+                               (_match_attention, "Softmax")):
         while True:
             hit = None
             for node in g.graph.node:

@@ -290,3 +290,29 @@ def einsum(ctx, *xs):
     if isinstance(eq, bytes):
         eq = eq.decode()
     return jnp.einsum(eq, *xs, preferred_element_type=jnp.float32).astype(xs[0].dtype)
+
+
+@register("FusedAttention")
+def fused_attention(ctx, q, k, v, mask=None):
+    """Fused multi-head attention core emitted by
+    graph/transformer_opt.py (the TPU-native analogue of ORT's attention
+    fusion, reference __main__.py:85-89).
+
+    q: (B,H,S,dh); k: (B,H,S,dh), or (B,H,dh,S) when k_transposed=1 (the
+    original graph's key transpose was not absorbable); v: (B,H,T,dh);
+    optional additive mask broadcastable to (B,H,S,T).  Returns the
+    post-projection-layout (B,S,H*dh) tensor, absorbing the trailing
+    Transpose(0,2,1,3) + Reshape.  Softmax runs in f32 for bf16-stats
+    stability; XLA fuses the whole block natively on the MXU."""
+    import jax
+    scale = ctx.attrs.get("scale", 1.0)
+    if ctx.attrs.get("k_transposed", 0):
+        k = jnp.swapaxes(k, -1, -2)
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhst,bhtd->bhsd", probs, v)
+    b, h, s, d = out.shape
+    return jnp.swapaxes(out, 1, 2).reshape(b, s, h * d)

@@ -76,3 +76,25 @@ def test_e2e_quantize_cli(bert, rng):
     model_cos = json.load(open(os.path.join(out, "model_res.json.rank0")))
     for oname, (avg_cos, _mn) in model_cos.items():
         assert avg_cos > 0.9, (oname, avg_cos)
+
+
+def test_attention_fusion_on_bert_with_mask(bert, rng):
+    """The REAL HF BertSelfAttention export (scores MatMul -> Div ->
+    extended-attention-mask Add -> Softmax -> MatMul -> Transpose ->
+    Reshape) must fuse to one FusedAttention per layer WITH the mask
+    input captured, at parity with torch."""
+    from dipoorlet_tpu.graph.transformer_opt import optimize_transformer
+    wrap, graph, ws = bert
+    g = GraphIR.load(os.path.join(str(ws), "bert_tiny.onnx"))
+    optimize_transformer(g)
+    attn = [n for n in g.graph.node if n.op_type == "FusedAttention"]
+    assert len(attn) == 2  # one per hidden layer
+    assert all(len(n.input) == 4 for n in attn), "mask input not captured"
+    assert not any(n.op_type == "Softmax" for n in g.graph.node)
+    ex = Executor(g)
+    ids = rng.randint(0, VOCAB, size=(1, SEQ))
+    out, _ = ex.forward(ex.init_params(), {"input": ids.astype(np.float32)})
+    with torch.no_grad():
+        ref = wrap(torch.from_numpy(ids)).numpy()
+    np.testing.assert_allclose(np.asarray(out[g.network_outputs[0]]), ref,
+                               rtol=1e-2, atol=1e-3)

@@ -144,9 +144,12 @@ def test_e2e_bert_integration(tmp_path, rng):
     export(wrap, torch.randint(0, 500, (1, 16)), path)
     data_dir = str(tmp_path / "data")
     n = 4
+    # own RNG: the shared session `rng` stream shifts with test ordering,
+    # and this test's non-degradation assertion is deliberately marginal
+    local_rng = np.random.RandomState(123)
     for i in range(n):
         save_sample(data_dir, "input",
-                    i, rng.randint(0, 500, size=(1, 16)).astype(np.float32))
+                    i, local_rng.randint(0, 500, size=(1, 16)).astype(np.float32))
 
     from dipoorlet_tpu.__main__ import main
 

@@ -102,10 +102,11 @@ def test_layernorm_gelu_fusion_parity(tfm, rng):
     n_before = len(g.graph.node)
     fused = optimize_transformer(g)
     ops = [n.op_type for n in g.graph.node]
-    assert fused == 3  # ln1, ln2, gelu
+    assert fused == 4  # ln1, ln2, gelu, attention core
     assert ops.count("LayerNormalization") == 2
     assert ops.count("Gelu") == 1
-    assert "Erf" not in ops
+    assert ops.count("FusedAttention") == 1
+    assert "Erf" not in ops and "Softmax" not in ops
     assert len(g.graph.node) < n_before - 10
     ex = Executor(g)
     x = rng.randn(1, 8, 32).astype(np.float32)
@@ -128,8 +129,9 @@ def test_fusion_skips_externally_consumed_interior(tfm):
     shp = g.tensor_name_shape_map[interior]
     g.add_network_output(oir.make_tensor_value_info(interior, oir.DataType.FLOAT, shp))
     fused = optimize_transformer(g)
-    assert fused == 2  # ln2 + gelu still fuse; ln1 blocked
+    assert fused == 3  # ln2 + gelu + attention still fuse; ln1 blocked
     assert any(n.op_type == "Erf" for n in g.graph.node) is False
+    assert any(n.op_type == "ReduceMean" for n in g.graph.node)  # ln1 intact
 
 
 def test_chunked_stats_match_single_pass(tfm, rng, tmp_path):
