@@ -104,7 +104,25 @@ def run_full_pipeline(model_path, data_dir, samples, deploy="magicmind",
     ops = {}
     for n in load_model(qop_path).graph.node:
         ops[n.op_type] = ops.get(n.op_type, 0) + 1
+
+    # peak device bytes: XLA's compiled memory analysis of the widest
+    # stats program + resident params + the device dataset cache (device
+    # memory_stats is unavailable over the relay)
+    from dipoorlet_tpu.graph import GraphIR
+    from dipoorlet_tpu.graph.transformer_opt import optimize_transformer
+    from dipoorlet_tpu.runtime import Executor
+    from dipoorlet_tpu.runtime.data import CalibDataset
+    from dipoorlet_tpu.calib.stats import StatsRunner
+    g = GraphIR.load(model_path)
+    optimize_transformer(g)
+    ex = Executor(g)
+    ds = CalibDataset(data_dir, ex.input_shapes(), samples)
+    mem = StatsRunner(ex, tap_chunk=512).memory_analysis(
+        ex.init_params(), ds, batch_size=8)
+    peak = mem["params_bytes"] + mem["batch_bytes"] + mem["peak_step_bytes"]
     return {
+        "peak_device_bytes": int(peak),
+        "peak_device_gb": round(peak / 2**30, 3),
         "cmd": "python -m dipoorlet_tpu " + " ".join(argv),
         "wall_s": round(wall, 1),
         "phase_split_s": phases,
