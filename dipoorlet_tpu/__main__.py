@@ -224,7 +224,6 @@ def main(argv=None):
     if rank == 0:
         logger.info("Do tensor calibration...")
     act_clip_val, weight_clip_val = tensor_calibration(onnx_graph, args)
-    tensor_range = copy.deepcopy(act_clip_val)
 
     if world_size > 1:
         # merge per-process clip values over DCN collectives (semantics of
@@ -266,7 +265,10 @@ def main(argv=None):
         to_deploy(graph, act_clip_val, weight_clip_val, args)
         if args.quant_format == "QOP" and args.model_type is None:
             from .quant.qop_export import deploy_qoperator
-            deploy_qoperator(graph, tensor_range, args)
+            # post-weight-transform ranges: SmoothQuant/WE/BN-update
+            # re-calibrate and introduce new tensors (e.g. _sq_scaled) —
+            # a pre-WT snapshot would silently leave their consumers fp32
+            deploy_qoperator(graph, act_clip_val, args)
         logger.info("Total time cost: {} seconds.".format(int(time.time() - start)))
 
 

@@ -167,3 +167,48 @@ def test_e2e_bert_integration(tmp_path, rng):
     # lift is asserted on the LN->Linear model above); integration value here
     # is that SQ ran through the full CLI on a transformer without breaking
     assert sq[oname][0] >= base[oname][0] - 1e-4, (base, sq)
+
+
+def test_qop_export_after_smooth_quant_uses_recalibrated_ranges(tmp_path, rng):
+    """SmoothQuant inserts per-channel Mul nodes whose outputs are NEW
+    tensors; the QOP exporter must receive the post-WT re-calibrated
+    ranges or every smoothed MatMul silently stays fp32 (round-5 bug:
+    __main__ snapshotted pre-WT ranges)."""
+    pytest.importorskip("transformers")
+    from transformers import BertConfig, BertModel
+
+    cfg = BertConfig(vocab_size=500, hidden_size=64, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=128,
+                     max_position_embeddings=64, attn_implementation="eager")
+    torch.manual_seed(0)
+    model = BertModel(cfg)
+    model.eval()
+
+    class Wrap(torch.nn.Module):
+        def __init__(self, m):
+            super().__init__()
+            self.m = m
+
+        def forward(self, ids):
+            return self.m(input_ids=ids).last_hidden_state
+
+    path = str(tmp_path / "bert.onnx")
+    export(Wrap(model), torch.randint(0, 500, (1, 16)), path)
+    data_dir = str(tmp_path / "data")
+    local_rng = np.random.RandomState(7)
+    for i in range(4):
+        save_sample(data_dir, "input", i,
+                    local_rng.randint(0, 500, size=(1, 16)).astype(np.float32))
+    from dipoorlet_tpu.__main__ import main
+    out = str(tmp_path / "out")
+    main(["-M", path, "-I", data_dir, "-O", out, "-N", "4",
+          "--batch_size", "2", "--cpu", "-A", "minmax", "-D", "magicmind",
+          "--optim_transformer", "--smooth_quant", "--quant_format", "QOP",
+          "--skip_prof_layer"])
+    from dipoorlet_tpu.onnx_ir import load_model
+    m = load_model(os.path.join(out, "qop_model.onnx"))
+    ops = {}
+    for n in m.graph.node:
+        ops[n.op_type] = ops.get(n.op_type, 0) + 1
+    # all 6 Linear matmuls per layer quantize despite the _sq_scaled inputs
+    assert ops.get("QLinearMatMul", 0) == 12, ops
