@@ -144,23 +144,139 @@ def _match_gelu(g: GraphIR, erf):
     return fused, [div, erf, add1, mul_x, mul_half]
 
 
+_SQRT_2_OVER_PI = 0.7978845608028654
+
+
+def _match_gelu_tanh(g: GraphIR, tanh):
+    """tanh: Tanh inside the tanh-approximate GELU (GPT-2's `gelu_new`,
+    torch's approximate='tanh'):
+
+        0.5 * x * (1 + tanh(sqrt(2/pi) * (x + 0.044715 * x^3)))
+
+    Exports as Pow/Mul/Add/Mul/Tanh/Add/Mul[/Mul]; both groupings of
+    the outer 0.5*x product are accepted.  Fuses to
+    Gelu(approximate='tanh') — same erasure ORT's optimizer performs.
+    Returns (fused_node, interior_nodes) or None."""
+    mul_in = g.output_map.get(tanh.input[0])
+    if mul_in is None or mul_in.op_type != "Mul":
+        return None
+    c = _scalar_init(g, mul_in.input[1])
+    inner_name = mul_in.input[0]
+    if c is None:
+        c = _scalar_init(g, mul_in.input[0])
+        inner_name = mul_in.input[1]
+    if c is None or abs(c - _SQRT_2_OVER_PI) > 1e-4:
+        return None
+    add_in = g.output_map.get(inner_name)
+    if add_in is None or add_in.op_type != "Add":
+        return None
+
+    def _cube_term(name, xcand):
+        """name == 0.044715 * Pow(xcand, 3)?  -> (mul3, pow) or None."""
+        mul3 = g.output_map.get(name)
+        if mul3 is None or mul3.op_type != "Mul":
+            return None
+        c2 = _scalar_init(g, mul3.input[1])
+        pname = mul3.input[0]
+        if c2 is None:
+            c2 = _scalar_init(g, mul3.input[0])
+            pname = mul3.input[1]
+        if c2 is None or abs(c2 - 0.044715) > 1e-6:
+            return None
+        pw = g.output_map.get(pname)
+        if pw is None or pw.op_type != "Pow" \
+                or _scalar_init(g, pw.input[1]) != 3.0 \
+                or pw.input[0] != xcand:
+            return None
+        return mul3, pw
+
+    a, b = add_in.input[0], add_in.input[1]
+    x, hit = a, _cube_term(b, a)
+    if hit is None:
+        x, hit = b, _cube_term(a, b)
+    if hit is None:
+        return None
+    mul3, pw = hit
+    # interior tensors must feed the chain alone
+    for n in (pw, mul3, add_in, mul_in):
+        if len(g.input_map.get(n.output[0], [])) != 1 \
+                or n.output[0] in g.network_outputs:
+            return None
+    add1 = _only_consumer(g, tanh.output[0], "Add")
+    if add1 is None:
+        return None
+    one = _scalar_init(g, add1.input[1])
+    if one is None:
+        one = _scalar_init(g, add1.input[0])
+    if one != 1.0:
+        return None
+    mul_out = _only_consumer(g, add1.output[0], "Mul")
+    if mul_out is None:
+        return None
+    other = mul_out.input[0] if mul_out.input[1] == add1.output[0] \
+        else mul_out.input[1]
+    interior = [pw, mul3, add_in, mul_in, tanh, add1]
+    # form A: other operand is a ready-made 0.5*x
+    half_mul = g.output_map.get(other)
+    if half_mul is not None and half_mul.op_type == "Mul" \
+            and other not in g.network_outputs \
+            and len(g.input_map.get(other, [])) == 1:
+        h = _scalar_init(g, half_mul.input[1])
+        xc = half_mul.input[0]
+        if h is None:
+            h = _scalar_init(g, half_mul.input[0])
+            xc = half_mul.input[1]
+        if h == 0.5 and xc == x:
+            interior += [half_mul, mul_out]
+            return make_node("Gelu", [x], [mul_out.output[0]],
+                             name=tanh.name + "_gelu_fused",
+                             approximate="tanh"), interior
+    # form B: (x * (1 + tanh)) then * 0.5
+    if other == x:
+        mul_half = _only_consumer(g, mul_out.output[0], "Mul")
+        if mul_half is not None:
+            h = _scalar_init(g, mul_half.input[1])
+            if h is None:
+                h = _scalar_init(g, mul_half.input[0])
+            if h == 0.5:
+                interior += [mul_out, mul_half]
+                return make_node("Gelu", [x], [mul_half.output[0]],
+                                 name=tanh.name + "_gelu_fused",
+                                 approximate="tanh"), interior
+    return None
+
+
 def _shape(g: GraphIR, name):
     return g.tensor_name_shape_map.get(name) or []
+
+
+# wrapper ops absorbable between the scores MatMul and the Softmax
+_ATTN_CHAIN_OPS = ("Add", "Where", "Cast", "Div", "Mul", "MatMul")
 
 
 def _match_attention(g: GraphIR, softmax):
     """softmax: Softmax(axis=-1) inside the exported eager-attention core
 
-        scores = MatMul(q, kT) [/ sqrt(dh)] [+ mask]
+        scores = MatMul(q, kT) [/ sqrt(dh)] [+ mask]* [Where(causal, ., min)]
         ctx    = MatMul(Softmax(scores), v)
         out    = Reshape(Transpose(ctx, 0,2,1,3), (B, S, H*dh))
 
-    Fuses the whole chain (7-9 nodes) into ONE FusedAttention node —
-    the TPU-native analogue of ORT's attention fusion (reference
-    __main__.py:85-89): XLA sees a single softmax-attention block it
-    schedules natively, and transformer calibration taps drop the
-    interior score/prob tensors exactly as the reference's optimizer
-    does.  Returns (fused_node, interior_nodes) or None."""
+    Fuses the whole chain into ONE FusedAttention node — the TPU-native
+    analogue of ORT's attention fusion (reference __main__.py:85-89):
+    XLA sees a single softmax-attention block it schedules natively, and
+    transformer calibration taps drop the interior score/prob tensors
+    exactly as the reference's optimizer does.
+
+    The score chain is walked from the Softmax down to the MatMul,
+    absorbing any interleaving of: additive masks (dynamic input or
+    constant — BERT's extended attention mask), a constant-condition
+    Where select (GPT-2's causal mask: where(tril, scores, finfo.min)
+    becomes the additive mask where(tril, 0, finfo.min) — identical
+    post-softmax since the blocked logits stay ~finfo.min), a Cast back
+    to f32, and scalar Div/Mul scaling.  Masks absorbed between a scale
+    and the MatMul are pre-multiplied by the outer scale so the fused
+    scores*scale + mask form stays exact.  Returns
+    (fused_node, interior_nodes, prelude_nodes, new_inits) or None."""
     s_in = softmax.input[0]
     nd = len(_shape(g, s_in))
     axis = node_attrs(softmax).get("axis", -1)
@@ -168,44 +284,101 @@ def _match_attention(g: GraphIR, softmax):
         return None
     interior = [softmax]
     scale = 1.0
-    mask = None
+    mask_consts = []   # np float64 additive masks (already scale-adjusted)
+    mask_dyn = None    # at most one non-constant additive mask tensor
     cur = g.output_map.get(s_in)
-    # optional mask add (other operand may be any tensor: fold-resistant
-    # constant extended-attention-mask or a dynamic mask input)
-    if cur is not None and cur.op_type == "Add" \
-            and _only_consumer(g, cur.output[0],
-                               "Softmax") is softmax:
-        nxt = g.output_map.get(cur.input[0])
-        if nxt is not None and nxt.op_type in ("Div", "Mul", "MatMul"):
-            mask = cur.input[1]
-            interior.append(cur)
-            cur = nxt
-        else:
-            nxt = g.output_map.get(cur.input[1])
-            if nxt is not None and nxt.op_type in ("Div", "Mul", "MatMul"):
-                mask = cur.input[0]
-                interior.append(cur)
-                cur = nxt
-            else:
-                return None
-    if cur is None:
-        return None
-    # optional scalar scaling
-    if cur.op_type in ("Div", "Mul"):
-        c = _scalar_init(g, cur.input[1])
-        if c is None or len(g.input_map.get(cur.output[0], [])) != 1 \
-                or cur.output[0] in g.network_outputs:
-            return None
-        scale = (1.0 / c) if cur.op_type == "Div" else c
-        interior.append(cur)
-        cur = g.output_map.get(cur.input[0])
+    for _ in range(8):
         if cur is None:
             return None
-    if cur.op_type != "MatMul" \
-            or len(g.input_map.get(cur.output[0], [])) != 1 \
+        if cur.op_type == "MatMul":
+            break
+        out = cur.output[0]
+        if len(g.input_map.get(out, [])) != 1 or out in g.network_outputs:
+            return None
+        if cur.op_type == "Add":
+            a, b = cur.input[0], cur.input[1]
+
+            def _chains(name):
+                n = g.output_map.get(name)
+                return n is not None and n.op_type in _ATTN_CHAIN_OPS \
+                    and name not in g.initializer
+            if _chains(a):
+                cont, mask_name = a, b
+            elif _chains(b):
+                cont, mask_name = b, a
+            else:
+                return None
+            if mask_name in g.initializer:
+                mask_consts.append(
+                    np.asarray(g.get_initializer(mask_name), dtype=np.float64)
+                    * scale)
+            else:
+                # a dynamic mask under an outer scale would need an extra
+                # Mul to stay exact — leave that exotic shape unfused
+                if mask_dyn is not None or scale != 1.0:
+                    return None
+                mask_dyn = mask_name
+            interior.append(cur)
+            cur = g.output_map.get(cont)
+        elif cur.op_type == "Where":
+            cond, x_t, y_t = cur.input[0], cur.input[1], cur.input[2]
+            if cond not in g.initializer:
+                return None
+            condv = np.asarray(g.get_initializer(cond)).astype(bool)
+            y_scalar = _scalar_init(g, y_t)
+            x_scalar = _scalar_init(g, x_t)
+            if y_scalar is not None and x_t not in g.initializer:
+                mask_consts.append(np.where(condv, 0.0, y_scalar) * scale)
+                cont = x_t
+            elif x_scalar is not None and y_t not in g.initializer:
+                mask_consts.append(np.where(condv, x_scalar, 0.0) * scale)
+                cont = y_t
+            else:
+                return None
+            interior.append(cur)
+            cur = g.output_map.get(cont)
+        elif cur.op_type == "Cast":
+            if node_attrs(cur).get("to") != 1:  # only f32 round-trips
+                return None
+            interior.append(cur)
+            cur = g.output_map.get(cur.input[0])
+        else:  # Div / Mul scalar scaling
+            c = _scalar_init(g, cur.input[1])
+            cont = cur.input[0]
+            if c is None and cur.op_type == "Mul":
+                c = _scalar_init(g, cur.input[0])
+                cont = cur.input[1]
+            if c is None:
+                return None
+            scale *= (1.0 / c) if cur.op_type == "Div" else c
+            interior.append(cur)
+            cur = g.output_map.get(cont)
+    else:
+        return None
+    if len(g.input_map.get(cur.output[0], [])) != 1 \
             or cur.output[0] in g.network_outputs:
         return None
     scores_mm = cur
+
+    # resolve the combined additive mask
+    prelude = []
+    new_inits = {}
+    mask = mask_dyn
+    if mask_consts:
+        total = mask_consts[0]
+        for m in mask_consts[1:]:
+            total = total + m
+        const_name = scores_mm.name + "_attn_mask"
+        # summing two finfo.min-carrying masks overflows f32; clamping is
+        # post-softmax identical (both give probability 0)
+        f32 = np.finfo(np.float32)
+        new_inits[const_name] = np.clip(total, f32.min, f32.max).astype(np.float32)
+        if mask_dyn is None:
+            mask = const_name
+        else:
+            mask = scores_mm.name + "_attn_mask_combined"
+            prelude.append(make_node("Add", [mask_dyn, const_name], [mask],
+                                     name=scores_mm.name + "_attn_mask_add"))
     q_name, k_name = scores_mm.input[0], scores_mm.input[1]
     if len(_shape(g, q_name)) != 4:
         return None
@@ -220,8 +393,15 @@ def _match_attention(g: GraphIR, softmax):
         k_transposed = 0
         interior.append(kt)
 
-    ctx_mm = _only_consumer(g, softmax.output[0], "MatMul")
-    if ctx_mm is None or ctx_mm.input[0] != softmax.output[0]:
+    # optional probs Cast back to the value dtype (GPT-2's
+    # attn_weights.type(value.dtype)) between the Softmax and the ctx MatMul
+    probs_name = softmax.output[0]
+    pcast = _only_consumer(g, probs_name, "Cast")
+    if pcast is not None and node_attrs(pcast).get("to") == 1:
+        interior.append(pcast)
+        probs_name = pcast.output[0]
+    ctx_mm = _only_consumer(g, probs_name, "MatMul")
+    if ctx_mm is None or ctx_mm.input[0] != probs_name:
         return None
     v_name = ctx_mm.input[1]
     if len(_shape(g, v_name)) != 4:
@@ -237,7 +417,7 @@ def _match_attention(g: GraphIR, softmax):
     fused = make_node("FusedAttention", inputs, [rs.output[0]],
                       name=scores_mm.name + "_attn_fused",
                       scale=float(scale), k_transposed=k_transposed)
-    return fused, interior
+    return fused, interior, prelude, new_inits
 
 
 def optimize_transformer(g: GraphIR) -> int:
@@ -247,6 +427,7 @@ def optimize_transformer(g: GraphIR) -> int:
     fused_count = 0
     for matcher, anchor_op in ((_match_layer_norm, "ReduceMean"),
                                (_match_gelu, "Erf"),
+                               (_match_gelu_tanh, "Tanh"),
                                (_match_attention, "Softmax")):
         while True:
             hit = None
@@ -257,11 +438,15 @@ def optimize_transformer(g: GraphIR) -> int:
                         break
             if hit is None:
                 break
-            fused, interior = hit
+            fused, interior = hit[0], hit[1]
+            prelude = hit[2] if len(hit) > 2 else []
+            for name, arr in (hit[3] if len(hit) > 3 else {}).items():
+                g.set_initializer(name, arr)
             idx = g.index(interior[0])
             interior_ids = {id(n) for n in interior}
             keep = [n for n in g.graph.node if id(n) not in interior_ids]
-            keep.insert(min(idx, len(keep)), fused)
+            keep[min(idx, len(keep)):min(idx, len(keep))] = \
+                list(prelude) + [fused]
             del g.graph.node[:]
             g.graph.node.extend(keep)
             g.topologize_graph()
