@@ -161,3 +161,65 @@ def test_chunked_stats_match_single_pass(tfm, rng, tmp_path):
     assert s_full == s_chunk
     for k in h_full:
         np.testing.assert_array_equal(h_full[k], h_chunk[k])
+
+
+class MaskInsideScaleBlock(nn.Module):
+    """Attention variants where the mask sits BELOW the score scaling —
+    value order (scores + mask)/c and where(cond, scores, min)/c — so
+    the fusion's additive mask must be pre-multiplied by the outer
+    scale (transformer_opt._match_attention scale adjustment)."""
+
+    def __init__(self, dim=32, heads=4, seq=8):
+        super().__init__()
+        self.qkv = nn.Linear(dim, dim * 3)
+        self.proj = nn.Linear(dim, dim)
+        self.heads = heads
+        self.dim = dim
+        add_mask = torch.zeros(1, 1, seq, seq)
+        add_mask[..., : seq // 2] = -25.0
+        self.register_buffer("add_mask", add_mask)
+        self.register_buffer("tril", torch.ones(1, 1, seq, seq,
+                                                dtype=torch.bool).tril())
+
+    def _heads(self, x):
+        b, t, d = x.shape
+        qkv = self.qkv(x).reshape(b, t, 3, self.heads, d // self.heads)
+        return (qkv[:, :, i].transpose(1, 2) for i in range(3))
+
+    def forward(self, x):
+        c = float((self.dim // self.heads) ** 0.5)
+        q, k, v = self._heads(x)
+        att = torch.softmax((q @ k.transpose(-2, -1) + self.add_mask) / c, -1)
+        y = (att @ v).transpose(1, 2).reshape(x.shape)
+        x = x + self.proj(y)
+        q, k, v = self._heads(x)
+        scores = torch.where(self.tril, q @ k.transpose(-2, -1),
+                             torch.tensor(torch.finfo(torch.float32).min))
+        att = torch.softmax(scores / c, -1)
+        y = (att @ v).transpose(1, 2).reshape(x.shape)
+        return x + self.proj(y)
+
+
+def test_attention_fusion_mask_below_scale(tmp_path, rng):
+    """Both mask-below-scale orderings must fuse (no Softmax left) and
+    stay at parity: the additive mask is divided by the score scale."""
+    from dipoorlet_tpu.graph.passes import simplify_graph
+    from dipoorlet_tpu.graph.transformer_opt import optimize_transformer
+    torch.manual_seed(3)
+    m = MaskInsideScaleBlock()
+    m.eval()
+    path = str(tmp_path / "mask_scale.onnx")
+    export(m, torch.randn(1, 8, 32), path, opset=14)
+    g = GraphIR.load(path)
+    simplify_graph(g)
+    optimize_transformer(g)
+    ops = [n.op_type for n in g.graph.node]
+    assert ops.count("FusedAttention") == 2
+    assert "Softmax" not in ops and "Where" not in ops
+    ex = Executor(g)
+    x = rng.randn(1, 8, 32).astype(np.float32)
+    out, _ = ex.forward(ex.init_params(), {"input": x})
+    with torch.no_grad():
+        ref = m(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(out[g.network_outputs[0]]), ref,
+                               rtol=1e-3, atol=1e-5)
