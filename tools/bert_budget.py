@@ -59,20 +59,21 @@ def ensure_bert(seq: int) -> str:
 
 
 def run_full_pipeline(model_path, data_dir, samples, deploy="magicmind",
-                      cpu=False):
+                      cpu=False, out_name="bert_full_pipeline_out"):
     """Whole-CLI transformer run (round-5 verdict item 6): calibration +
     SmoothQuant + profiling + deploy + QOperator export on bert-base,
     with a per-phase wall split captured from the CLI's own phase logs.
     Deploy target magicmind: the one platform whose quant_nodes include
     MatMul, so the QOP model actually quantizes the attention/FFN
-    matmuls (trt's table has no MatMul — a bert QOP there is vacuous)."""
+    matmuls (trt's table has no MatMul — a bert QOP there is vacuous).
+    Reused by tools/gpt2_budget.py for the decoder-at-scale row."""
     import datetime
     import glob
     import re
 
     from dipoorlet_tpu.__main__ import main as cli_main
 
-    out_dir = os.path.join(CACHE, "bert_full_pipeline_out")
+    out_dir = os.path.join(CACHE, out_name)
     argv = ["-M", model_path, "-I", data_dir, "-O", out_dir,
             "-N", str(samples), "-A", "hist", "-D", deploy,
             "--batch_size", "8", "--optim_transformer", "--smooth_quant",
@@ -127,7 +128,7 @@ def run_full_pipeline(model_path, data_dir, samples, deploy="magicmind",
         "wall_s": round(wall, 1),
         "phase_split_s": phases,
         "artifacts": sorted(os.listdir(out_dir)),
-        "qop_quantized_matmuls": ops.get("QLinearMatMul", 0),
+        "qop_quantized_matmuls": ops.get("QLinearMatMul", 0) + ops.get("QGemm", 0),
         "qop_op_histogram": {k: v for k, v in sorted(ops.items())},
     }
 
