@@ -258,7 +258,9 @@ class GraphIR:
         self.topologize_graph()
 
     def copy_from(self, src: "GraphIR"):
-        self.model = ModelProto.decode(src.model.encode())
+        # structural copy sharing immutable tensor payloads — NOT an
+        # encode/decode round-trip (was ~11 s per clone at 124M params)
+        self.model = src.model.copy()
         self.initializer = dict(src.initializer)
         self._init_proto_idx = dict(src._init_proto_idx)
         # proto objects must come from the fresh copy, not the source

@@ -60,10 +60,15 @@ def tensor_to_array(tensor: TensorProto, base_dir: str = "") -> np.ndarray:
         with open(path, "rb") as f:
             f.seek(offset)
             data = f.read(int(length)) if length else f.read()
-        return np.frombuffer(data, dtype=np_dtype).reshape(shape).copy()
+        return np.frombuffer(data, dtype=np_dtype).reshape(shape)
     if tensor.raw_data:
+        # zero-copy read-only view over the proto's bytes: initializers are
+        # replaced wholesale via GraphIR.set_initializer, never mutated in
+        # place (a write raises "assignment destination is read-only"), and
+        # prepare_initializer runs on every clone/load — copying here cost
+        # ~14 s of pure memcpy per 124M-param pipeline (profiled 2026-08-21)
         arr = np.frombuffer(tensor.raw_data, dtype=np_dtype)
-        return arr.reshape(shape).copy()
+        return arr.reshape(shape)
     if dt == DataType.FLOAT and tensor.float_data:
         return np.asarray(tensor.float_data, dtype=np.float32).reshape(shape)
     if dt == DataType.DOUBLE and tensor.double_data:

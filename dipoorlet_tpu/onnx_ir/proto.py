@@ -165,6 +165,29 @@ class Message:
             return pos
         raise ValueError(f"unsupported field kind {kind}")
 
+    # -- copying ------------------------------------------------------------
+    def copy(self):
+        """Structural deep copy that SHARES immutable leaves (bytes, str,
+        scalars).  Tensor payloads (TensorProto.raw_data) are bytes and
+        therefore safe to share; this turns cloning a 475 MB model from
+        an encode+decode round-trip into a structure-only walk (the hot
+        path of GraphIR.clone on transformer-scale graphs)."""
+        cls = type(self)
+        new = cls.__new__(cls)
+        for f in cls.FIELDS:
+            val = getattr(self, f.name)
+            if f.kind == "message":
+                if f.repeated:
+                    setattr(new, f.name, [v.copy() for v in val])
+                else:
+                    setattr(new, f.name, val.copy() if val is not None else None)
+            elif f.repeated:
+                setattr(new, f.name, list(val))
+            else:
+                setattr(new, f.name, val)
+        new._unknown = self._unknown
+        return new
+
     # -- encoding -----------------------------------------------------------
     def encode(self) -> bytes:
         out = bytearray()
