@@ -24,6 +24,7 @@ from ..onnx_ir.helper import array_to_tensor
 from ..onnx_ir.proto import DataType
 from .platform import LAYER_HAS_WEIGHT, platform_setting_table
 from .qparams import QParams, compute_qparams
+from ..utils.logging import logger
 
 Q_SUFFIX = "_q"
 DQ_SUFFIX = "_dq"
@@ -34,6 +35,19 @@ RELU_TYPE = ["Relu", "PRelu", "Mul"]
 
 def qparams_for_tensor(param: dict, clip_range) -> QParams:
     return compute_qparams(param, clip_range[0], clip_range[1])
+
+
+def _finite_range(clip_range) -> bool:
+    """A tensor whose calibrated range is not finite cannot carry a
+    meaningful scale.  The one legitimate source is masked-attention
+    interiors (causal Where / additive-mask Add produce ~-finfo.max or
+    -inf logits); the reference pipeline erases those interiors with the
+    ORT transformer optimizer before quantizing — ours does the same
+    under --optim_transformer.  Without it, inserting a QDQ with an
+    inf/NaN scale silently zeroes the whole tensor, so we skip the pair
+    and warn instead."""
+    return bool(np.all(np.isfinite(clip_range[0]))
+                and np.all(np.isfinite(clip_range[1])))
 
 
 def _make_qdq_nodes(tensor_name: str, qp: QParams, need_transpose: bool):
@@ -68,6 +82,7 @@ def quant_graph(graph: GraphIR, clip_val: Dict, args):
 
     quant_node_list = [n for n in g.graph.node
                        if n.name not in skip and n.op_type in setting["quant_nodes"]]
+    _warned_nonfinite: set = set()
 
     act_quantized: Dict[str, str] = {}  # tensor -> dq name
     insertions = []  # (anchor_node_name, [q,dq nodes], [inits])
@@ -107,6 +122,15 @@ def quant_graph(graph: GraphIR, clip_val: Dict, args):
                     if prev != INPUT_TOKEN and prev.op_type == "Conv":
                         trt_merge_add = True
                         continue
+                if not _finite_range(clip_val[in_tensor]):
+                    if in_tensor not in _warned_nonfinite:
+                        _warned_nonfinite.add(in_tensor)
+                        logger.warning(
+                            "tensor %r has a non-finite calibration range %s — "
+                            "left unquantized (masked-attention interior? use "
+                            "--optim_transformer to fuse it away)",
+                            in_tensor, clip_val[in_tensor])
+                    continue
                 qp = qparams_for_tensor(setting["qi_params"], clip_val[in_tensor])
                 q_nodes = _make_qdq_nodes(in_tensor, qp, False)
 

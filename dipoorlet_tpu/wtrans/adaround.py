@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
-from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu,
+from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu, squeeze_batch_dim,
                      mesh_sharding, quantized_input_name, reconstruction_mesh,
                      reconstruction_plan, stable_seed, weight_qparams_for_node)
 from .reconstruct import LayerSpec, hard_round_weight, learn_block, node_signature
@@ -59,8 +59,8 @@ def adaround(graph_ori, graph, act_clip_val, weight_clip_val, args):
         relu_flag = follow_relu(graph, node)
         fp_out = fp_provider.get(node.output[0], relu=relu_flag)[node.output[0]]
         # squeeze the declared batch dim (adaround.py:128)
-        q_in = q_in.reshape((q_in.shape[0],) + q_in.shape[2:])
-        fp_out = fp_out.reshape((fp_out.shape[0],) + fp_out.shape[2:])
+        q_in = squeeze_batch_dim(q_in)
+        fp_out = squeeze_batch_dim(fp_out)
 
         spec = _build_layer_spec(graph_ada, graph_ada, node, clip_val, args, relu_flag)
         total_iter = int(args.ada_epoch * plan.n_batches)

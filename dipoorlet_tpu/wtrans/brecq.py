@@ -13,7 +13,7 @@ from __future__ import annotations
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
-from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider,
+from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, squeeze_batch_dim,
                      acti_qparams_for_node, follow_relu, get_block_from_first,
                      mesh_sharding, quantized_input_name, reconstruction_mesh,
                      reconstruction_plan, stable_seed)
@@ -54,9 +54,9 @@ def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
         fp_in = fp_provider.get(block[0].input[0])[block[0].input[0]]
         out_relu = follow_relu(graph, block[-1])
         fp_out = fp_provider.get(block[-1].output[0], relu=out_relu)[block[-1].output[0]]
-        q_in = q_in.reshape((q_in.shape[0],) + q_in.shape[2:])
-        fp_in = fp_in.reshape((fp_in.shape[0],) + fp_in.shape[2:])
-        fp_out = fp_out.reshape((fp_out.shape[0],) + fp_out.shape[2:])
+        q_in = squeeze_batch_dim(q_in)
+        fp_in = squeeze_batch_dim(fp_in)
+        fp_out = squeeze_batch_dim(fp_out)
 
         specs = []
         for _node in block:

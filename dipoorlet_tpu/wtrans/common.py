@@ -96,6 +96,18 @@ def reconstruction_mesh(args, plan: ShardPlan):
     return None
 
 
+def squeeze_batch_dim(x):
+    """Drop the declared per-sample batch dim from a stacked activation
+    (N, 1, ...) -> (N, ...) — the reference's per-sample squeeze
+    (adaround.py:128).  Transformer Gemm inputs are already batchless
+    per sample ((S, D) reshaped from (B*S, D)), so only a literal
+    size-1 axis is removed; anything else is a real data axis and the
+    layer apply broadcasts over it."""
+    if x.ndim > 1 and x.shape[1] == 1:
+        return x.reshape((x.shape[0],) + x.shape[2:])
+    return x
+
+
 def follow_relu(graph: GraphIR, node) -> bool:
     nxt = graph.get_tensor_consumer(node.output[0])
     return len(nxt) == 1 and not isinstance(nxt[0], str) and nxt[0].op_type == "Relu"

@@ -19,7 +19,7 @@ from ..quant.fake_quant import ste_round
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
-from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu,
+from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu, squeeze_batch_dim,
                      mesh_sharding, quantized_input_name, reconstruction_mesh,
                      reconstruction_plan)
 from .reconstruct import _apply_from_sig, _to_onnx_layout
@@ -101,8 +101,8 @@ def sparse_quant(graph_ori, graph, act_clip_val, weight_clip_val, args):
         q_in = q_provider.get(in_name)[in_name]
         relu_flag = follow_relu(graph, node)
         fp_out = fp_provider.get(node.output[0], relu=relu_flag)[node.output[0]]
-        q_in = q_in.reshape((q_in.shape[0],) + q_in.shape[2:])
-        fp_out = fp_out.reshape((fp_out.shape[0],) + fp_out.shape[2:])
+        q_in = squeeze_batch_dim(q_in)
+        fp_out = squeeze_batch_dim(fp_out)
 
         spec = _build_layer_spec(graph_sq, graph_sq, node, clip_val, args, relu_flag)
         new_weight = _learn_sparse(spec, q_in, fp_out, args.ada_bs, args.ada_epoch,

@@ -126,3 +126,27 @@ def test_e2e_quantize_cli_qop(gpt2, rng):
     # all 4 projections per layer (c_attn/c_proj/c_fc/c_proj) quantize
     assert ops.get("QLinearMatMul", 0) + ops.get("QGemm", 0) >= 4 * N_LAYER, ops
     assert ops.get("Gemm", 0) == 0, ops
+
+
+def test_adaround_on_decoder_gemm_layers(gpt2, rng):
+    """AdaRound must reconstruct the decoder's Gemm projections, whose
+    per-sample activations are already 2-D ((S, D) reshaped from
+    (B*S, D)) — the batch-squeeze is a no-op there and the layer apply
+    broadcasts over the extra data axis (regression: reshape crash on
+    (N, S, D) stacks)."""
+    wrap, path, ws = gpt2
+    data_dir = str(ws / "data_ada")
+    n = 4
+    for i in range(n):
+        ids = rng.randint(0, VOCAB, size=(1, SEQ)).astype(np.float32)
+        save_sample(data_dir, "input", i, ids)
+    from dipoorlet_tpu.__main__ import main
+    out = str(ws / "out_ada")
+    main(["-M", path, "-I", data_dir, "-O", out,
+          "-N", str(n), "--batch_size", "2", "--cpu",
+          "-A", "minmax", "-D", "trt", "--optim_transformer",
+          "--adaround", "--ada_epoch", "3", "--ada_bs", str(n)])
+    assert os.path.exists(os.path.join(out, "adaround.onnx"))
+    model_cos = json.load(open(os.path.join(out, "model_res.json.rank0")))
+    for oname, (avg_cos, _mn) in model_cos.items():
+        assert avg_cos > 0.9, (oname, avg_cos)

@@ -144,3 +144,27 @@ def test_quant_graph_network_output_rv():
     x = np.random.RandomState(1).randn(1, 3, 8, 8).astype(np.float32)
     out_q, _ = ex_q.forward(ex_q.init_params(), {"x": x})
     assert "y_dq" in out_q
+
+
+def test_quant_graph_skips_nonfinite_range():
+    """A tensor whose calibrated range is non-finite (masked-attention
+    interiors: -inf logits through an Add quant node) must be left
+    UNQUANTIZED with a warning — an inf scale silently zeroes the tensor
+    (observed: a trained GPT-2 LM collapsed 0.67 -> 0.04 next-top1
+    before the guard)."""
+    g = _conv_relu_add_model()
+    clip = _fake_ranges(g)
+    clip["r1"] = [-np.inf, float(clip["r1"][1])]
+    gq, _ = quant_graph(g, clip, Args(deploy="trt"))
+    by_name = {n.name: n for n in gq.graph.node}
+    # r1 stays raw everywhere it is consumed
+    assert by_name["conv2"].input[0] == "r1"
+    assert by_name["add1"].input[0] == "r1"
+    # finite tensors still quantize
+    assert by_name["conv2"].input[1] == "w2_dq"
+    # and the QDQ model still executes at parity on the rest
+    ex_fp, ex_q = Executor(g), Executor(gq)
+    x = np.random.RandomState(1).randn(1, 3, 8, 8).astype(np.float32)
+    a = np.asarray(ex_fp.forward(ex_fp.init_params(), {"x": x})[0]["y"]).ravel()
+    b = np.asarray(ex_q.forward(ex_q.init_params(), {"x": x})[0]["y"]).ravel()
+    assert np.dot(a, b) / np.linalg.norm(a) / np.linalg.norm(b) > 0.99
