@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
-from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu, squeeze_batch_dim,
+from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu, squeeze_batch_dim, wt_input_source,
                      mesh_sharding, quantized_input_name, reconstruction_mesh,
                      reconstruction_plan, stable_seed, weight_qparams_for_node)
 from .reconstruct import LayerSpec, hard_round_weight, learn_block, node_signature
@@ -54,7 +54,8 @@ def adaround(graph_ori, graph, act_clip_val, weight_clip_val, args):
             continue  # cannot mimic equalized layers (adaround.py:34-36)
         logger.info("Adaround for: %s", node.name)
 
-        in_name = quantized_input_name(q_provider.graph, node.input[0])
+        in_name = quantized_input_name(q_provider.graph,
+                                       wt_input_source(graph_ada, node))
         q_in = q_provider.get(in_name)[in_name]
         relu_flag = follow_relu(graph, node)
         fp_out = fp_provider.get(node.output[0], relu=relu_flag)[node.output[0]]

@@ -13,7 +13,7 @@ from __future__ import annotations
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
-from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, squeeze_batch_dim,
+from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, squeeze_batch_dim, wt_input_source, sq_rescale_fp_input,
                      acti_qparams_for_node, follow_relu, get_block_from_first,
                      mesh_sharding, quantized_input_name, reconstruction_mesh,
                      reconstruction_plan, stable_seed)
@@ -49,9 +49,12 @@ def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
         logger.info("%s for: %s", log_head, " ".join(n.name for n in block))
         already.update(n.name for n in block)
 
-        in_name = quantized_input_name(q_provider.graph, block[0].input[0])
+        in_src = wt_input_source(graph_brecq, block[0])
+        fp_src = block[0].input[0]
+        in_name = quantized_input_name(q_provider.graph, in_src)
         q_in = q_provider.get(in_name)[in_name]
-        fp_in = fp_provider.get(block[0].input[0])[block[0].input[0]]
+        fp_in = sq_rescale_fp_input(graph_brecq, fp_src, in_src,
+                                    fp_provider.get(fp_src)[fp_src])
         out_relu = follow_relu(graph, block[-1])
         fp_out = fp_provider.get(block[-1].output[0], relu=out_relu)[block[-1].output[0]]
         q_in = squeeze_batch_dim(q_in)

@@ -108,6 +108,34 @@ def squeeze_batch_dim(x):
     return x
 
 
+def wt_input_source(graph_wt: GraphIR, node) -> str:
+    """The first-input tensor of `node` as rewired in the post-weight-
+    transform graph.  Reconstruction drivers iterate graph_ori's nodes
+    (reference adaround.py:124 semantics), but SmoothQuant's insert mode
+    renames the consumer's input to '<x>_sq' (per-channel 1/s Mul) in
+    the transformed graph — training the SCALED weight against the
+    UNSCALED '<x>' activation corrupts every learned rounding by up to
+    the per-channel s (measured: w4a4 SQ+BRECQ collapsed 0.56 -> 0.09
+    next-top1 on the trained-LM protocol before this lookup)."""
+    return graph_wt.graph.node[graph_wt.name_idx_map[node.name]].input[0]
+
+
+def sq_rescale_fp_input(graph_wt: GraphIR, fp_src: str, in_src: str, fp_in):
+    """QDrop's 50/50 mix needs fp activations in the SAME space as the
+    q-side input: when the q side goes through SmoothQuant's inserted
+    scaling ('<x>' -> '<x>_sq'), apply the stored 1/s to the fp-side
+    activation too."""
+    if in_src == fp_src:
+        return fp_in
+    inv = graph_wt.initializer.get(fp_src + "_sq_inv_scale")
+    if in_src != fp_src + "_sq" or inv is None:
+        raise NotImplementedError(
+            f"unrecognized weight-transform input rewiring {fp_src!r} -> "
+            f"{in_src!r}; cannot place fp activations in the q input space")
+    import jax.numpy as jnp
+    return fp_in * jnp.asarray(inv)
+
+
 def follow_relu(graph: GraphIR, node) -> bool:
     nxt = graph.get_tensor_consumer(node.output[0])
     return len(nxt) == 1 and not isinstance(nxt[0], str) and nxt[0].op_type == "Relu"

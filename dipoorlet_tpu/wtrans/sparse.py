@@ -19,7 +19,7 @@ from ..quant.fake_quant import ste_round
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
-from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu, squeeze_batch_dim,
+from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu, squeeze_batch_dim, wt_input_source,
                      mesh_sharding, quantized_input_name, reconstruction_mesh,
                      reconstruction_plan)
 from .reconstruct import _apply_from_sig, _to_onnx_layout
@@ -97,7 +97,8 @@ def sparse_quant(graph_ori, graph, act_clip_val, weight_clip_val, args):
             continue
         logger.info("sparse_quant for: %s", node.name)
 
-        in_name = quantized_input_name(q_provider.graph, node.input[0])
+        in_name = quantized_input_name(q_provider.graph,
+                                       wt_input_source(graph_sq, node))
         q_in = q_provider.get(in_name)[in_name]
         relu_flag = follow_relu(graph, node)
         fp_out = fp_provider.get(node.output[0], relu=relu_flag)[node.output[0]]

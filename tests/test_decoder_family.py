@@ -150,3 +150,28 @@ def test_adaround_on_decoder_gemm_layers(gpt2, rng):
     model_cos = json.load(open(os.path.join(out, "model_res.json.rank0")))
     for oname, (avg_cos, _mn) in model_cos.items():
         assert avg_cos > 0.9, (oname, avg_cos)
+
+
+def test_smooth_quant_plus_brecq_trains_in_scaled_space(gpt2, rng):
+    """SmoothQuant's insert mode renames the Gemm input to '<x>_sq' in
+    the transformed graph; reconstruction must fetch q-side activations
+    (and rescale QDrop's fp mix) in THAT space, not the original one —
+    training the scaled weight against the unscaled activation corrupted
+    every learned rounding by up to the per-channel s (measured collapse
+    0.56 -> 0.09 next-top1 on the trained-LM protocol pre-fix)."""
+    wrap, path, ws = gpt2
+    data_dir = str(ws / "data_sqbrecq")
+    n = 4
+    for i in range(n):
+        ids = rng.randint(0, VOCAB, size=(1, SEQ)).astype(np.float32)
+        save_sample(data_dir, "input", i, ids)
+    from dipoorlet_tpu.__main__ import main
+    out = str(ws / "out_sqbrecq")
+    main(["-M", path, "-I", data_dir, "-O", out,
+          "-N", str(n), "--batch_size", "2", "--cpu",
+          "-A", "minmax", "-D", "trt", "--optim_transformer",
+          "--smooth_quant", "--brecq", "--drop",
+          "--ada_epoch", "3", "--ada_bs", str(n)])
+    model_cos = json.load(open(os.path.join(out, "model_res.json.rank0")))
+    for oname, (avg_cos, _mn) in model_cos.items():
+        assert avg_cos > 0.9, (oname, avg_cos)

@@ -53,6 +53,12 @@ CONFIGS = [
     ("w4a4 naive", ["--w_bit", "4", "--a_bit", "4", "--optim_transformer"]),
     ("w4a4 BRECQ+QDrop", ["--w_bit", "4", "--a_bit", "4", "--brecq",
                           "--drop", "--optim_transformer"]),
+    # does outlier migration recover the a4 activation damage?
+    ("w4a4 SmoothQuant", ["--w_bit", "4", "--a_bit", "4", "--smooth_quant",
+                          "--optim_transformer"]),
+    ("w4a4 SmoothQuant BRECQ+QDrop",
+     ["--w_bit", "4", "--a_bit", "4", "--smooth_quant", "--brecq", "--drop",
+      "--optim_transformer"]),
 ]
 
 
