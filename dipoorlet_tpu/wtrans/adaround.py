@@ -12,9 +12,11 @@ import jax.numpy as jnp
 
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
-from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu, squeeze_batch_dim, wt_input_source,
-                     mesh_sharding, quantized_input_name, reconstruction_mesh,
-                     reconstruction_plan, stable_seed, weight_qparams_for_node)
+from .common import (LEARNABLE_LAYER_TYPES, follow_relu,
+                     make_activation_provider, mesh_sharding,
+                     quantized_input_name, reconstruction_mesh,
+                     reconstruction_plan, squeeze_batch_dim, stable_seed,
+                     weight_qparams_for_node, wt_input_source)
 from .reconstruct import LayerSpec, hard_round_weight, learn_block, node_signature
 from .weight_equalization import node_has_equalized
 

@@ -13,10 +13,12 @@ from __future__ import annotations
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
-from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, squeeze_batch_dim, wt_input_source, sq_rescale_fp_input,
-                     acti_qparams_for_node, follow_relu, get_block_from_first,
-                     mesh_sharding, quantized_input_name, reconstruction_mesh,
-                     reconstruction_plan, stable_seed)
+from .common import (LEARNABLE_LAYER_TYPES, acti_qparams_for_node,
+                     follow_relu, get_block_from_first,
+                     make_activation_provider, mesh_sharding,
+                     quantized_input_name, reconstruction_mesh,
+                     reconstruction_plan, sq_rescale_fp_input,
+                     squeeze_batch_dim, stable_seed, wt_input_source)
 from .reconstruct import hard_round_weight, learn_block
 from .weight_equalization import node_has_equalized
 

@@ -19,9 +19,11 @@ from ..quant.fake_quant import ste_round
 from ..quant.quant_graph import quant_graph
 from ..utils.logging import logger
 from .adaround import _build_layer_spec
-from .common import (LEARNABLE_LAYER_TYPES, make_activation_provider, follow_relu, squeeze_batch_dim, wt_input_source,
-                     mesh_sharding, quantized_input_name, reconstruction_mesh,
-                     reconstruction_plan)
+from .common import (LEARNABLE_LAYER_TYPES, follow_relu,
+                     make_activation_provider, mesh_sharding,
+                     quantized_input_name, reconstruction_mesh,
+                     reconstruction_plan, squeeze_batch_dim,
+                     wt_input_source)
 from .reconstruct import _apply_from_sig, _to_onnx_layout
 from .weight_equalization import node_has_equalized
 
