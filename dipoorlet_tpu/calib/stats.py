@@ -220,7 +220,12 @@ class StatsRunner:
         With a mesh, the batch axis of the cached stack is sharded over the
         'data' axis, so every subsequent pass runs SPMD straight from the
         per-chip HBM shards."""
-        key = ("data", batch_size, start, end)
+        # the dataset's identity MUST be part of the key: a runner reused
+        # across datasets (bench fresh-seed reps; any tool swapping calib
+        # dirs) would otherwise silently serve the FIRST dataset's device
+        # buffers for every later one
+        src = getattr(dataset, "input_dir", None) or id(dataset)
+        key = ("data", src, batch_size, start, end)
         if key not in self._data_cache:
             sharding = None
             if self.mesh is not None and batch_size % self._mesh_shards() == 0:
