@@ -12,10 +12,11 @@ HBM-resident fresh-seed datasets (device compute + relay round-trip; a
 conservative proxy for the directly-attached wall — profiler device time
 for the pass is ~0.07 s).  extra.first_execution_wall_s_reps carries the
 same passes' FIRST executions, which on this relay-attached sandbox pay
-a queue-dominated 1-21 s remote-execution surcharge that a
-directly-attached TPU does not; extra.measurement_semantics spells this
-out and BASELINE.md's round-5 measurement audit records how the earlier
-"fresh-seed" methodology was found to be broken.
+a 1-27 s remote-scheduling surcharge (never-seen dispatch; queue-
+dependent) that a directly-attached TPU does not;
+extra.measurement_semantics spells this out and BASELINE.md's round-5
+measurement audit records how the earlier "fresh-seed" methodology was
+found to be broken and what the wall decomposition really is.
 
 vs_baseline compares against a reference-architecture emulation measured
 once on this host and cached: per-sample batch-1 torch-CPU forward with
@@ -233,23 +234,20 @@ def measure_ours(extra):
     extra["batch_sweep_bf16_s"] = {str(k): v for k, v in sweep.items()}
     extra["best_batch"] = best_b
 
-    # Headline = MEDIAN of >=3 fused passes, each on FRESH-SEED data the
-    # axon relay's content-addressed execution cache cannot serve (seeds
-    # drawn from os.urandom per bench run), at the sweep-winning batch.
-    # A single-run headline let relay variance set the claim (r4 verdict
-    # weak #2: driver measured 526 samples/s against a quoted 588).
-    # ROUND-5 MEASUREMENT AUDIT (see BASELINE.md): the device-data cache
-    # used to key on (batch, range) only, so earlier "fresh-seed" reps
-    # silently re-dispatched the FIRST dataset's buffers and the axon
-    # relay's content-addressed EXECUTION cache served them in ~0.18 s.
-    # With dataset identity in the key, a genuinely new (program, data)
-    # execution measures 1-21 s on this relay — queue-dominated sandbox
-    # overhead a directly-attached TPU does not pay (profiler device time
-    # for the pass is ~68 ms).  The headline is therefore the STEADY
-    # repeat-dispatch wall over HBM-resident data (device time + relay
-    # round-trip; a CONSERVATIVE proxy for directly-attached wall), and
-    # the first-execution walls are reported alongside, labeled as what
-    # they are.
+    # Headline = MEDIAN of >=3 steady repeat-dispatch passes, each on
+    # FRESH-SEED data (seeds from os.urandom per run) at the sweep-winning
+    # batch.  ROUND-5 MEASUREMENT AUDIT (see BASELINE.md): the device-data
+    # cache used to key on (batch, range) only, so earlier "fresh-seed"
+    # reps silently re-dispatched the FIRST dataset's buffers.  With
+    # dataset identity in the key, a genuinely new (program, data)
+    # execution pays a 1-27 s remote-SCHEDULING surcharge on this relay
+    # (queue-dependent; not compute — a directly-attached TPU pays
+    # neither), while repeat dispatches genuinely re-execute on the chip
+    # (walls scale linearly with data: 0.62 ms/sample device + ~0.116 s
+    # fixed relay RTT).  The headline is the steady repeat-dispatch wall
+    # over HBM-resident data — real execution + one round-trip, the
+    # conservative proxy for directly-attached wall — with the
+    # first-execution walls reported alongside, labeled as what they are.
     reps = []
     first_exec = []
     import jax
@@ -279,9 +277,10 @@ def measure_ours(extra):
         "data (device compute + relay round-trip; conservative proxy for "
         "directly-attached wall). first_execution_wall_s_reps = the same "
         "pass's FIRST execution on this relay-attached sandbox, dominated "
-        "by the remote execution service's queue (1-21 s observed) — not "
-        "a property of the framework or the chip (profiler device time "
-        "~0.07 s). See BASELINE.md round-5 measurement audit.")
+        "by remote scheduling of a never-seen dispatch (1-27 s observed) "
+        "— not a property of the framework or the chip (device time "
+        "~0.06-0.07 s, confirmed by profiler AND wall-scaling probe). "
+        "See BASELINE.md round-5 measurement audit.")
     extra["band_samples_per_s"] = [round(N_SAMPLES / max(reps), 1),
                                    round(N_SAMPLES / min(reps), 1)]
     # evidence for the bf16 default: worst relative clip-range drift vs f32
