@@ -211,3 +211,26 @@ def test_kl_levels_follow_a_bit(small_model):
     bad = Args(act_quant="kl", input_dir=data_dir, data_num=10, bins=64, a_bit=8)
     with pytest.raises(ValueError, match="bins"):
         tensor_cali_dispatcher("kl", g_model, bad)
+
+
+def test_stats_runner_reuse_across_datasets(small_model, tmp_path):
+    """A StatsRunner reused across DIFFERENT datasets must compute each
+    dataset's own statistics — the device-data cache keys on dataset
+    identity (regression: it keyed on (batch, range) only, so every
+    later dataset silently reused the first one's device buffers; this
+    is what invalidated the bench's fresh-seed reps, BASELINE.md
+    round-5 measurement audit)."""
+    from dipoorlet_tpu.calib.stats import StatsRunner
+    g, _ = small_model
+    ex = Executor(g)
+    params = ex.init_params()
+    runner = StatsRunner(ex)
+    results = []
+    for seed in (11, 12):
+        d = str(tmp_path / f"ds{seed}")
+        make_synthetic_dataset(d, {name: ex.input_shapes()[name]
+                                   for name in ex.input_shapes()}, 4, seed=seed)
+        ds = CalibDataset(d, ex.input_shapes(), 4)
+        results.append(runner.run_minmax(params, ds, batch_size=2))
+    a, b = results
+    assert a != b, "two different datasets returned identical stats"

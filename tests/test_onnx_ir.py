@@ -70,3 +70,26 @@ def test_unknown_fields_preserved():
     raw += extra
     m2 = oir.load_model_from_string(bytes(raw))
     assert bytes(extra) in m2.encode()
+
+
+def test_structural_copy_shares_payloads_and_isolates_structure():
+    """Message.copy(): byte-identical encoding, SHARED immutable tensor
+    payloads (the zero-copy clone contract), and structural isolation —
+    mutating the copy's node/initializer lists must not touch the
+    original."""
+    m = _tiny_model()
+    c = m.copy()
+    assert c.encode() == m.encode()
+    # payload bytes shared (not duplicated)
+    assert c.graph.initializer[0].raw_data is m.graph.initializer[0].raw_data
+    # structure isolated: edit the copy only
+    c.graph.node[0].input[0] = "renamed"
+    c.graph.initializer.append(
+        oir.array_to_tensor(np.zeros(2, dtype=np.float32), "extra"))
+    assert m.graph.node[0].input[0] == "x"
+    assert len(m.graph.initializer) == 1
+    # unknown fields survive the copy
+    raw = bytearray(m.encode())
+    raw += bytes([0x78, 0x2A])  # unknown varint field 15
+    m2 = oir.load_model_from_string(bytes(raw))
+    assert m2.copy().encode() == m2.encode()
