@@ -334,7 +334,10 @@ def space_to_depth(ctx, x):
 
 @register("ScatterND")
 def scatter_nd(ctx, data, indices, updates):
-    idx = tuple(jnp.moveaxis(indices, -1, 0))
+    # jnp.asarray: the constant folder evaluates ops on host numpy values,
+    # which have no .at[] (T5 exports fold a constant ScatterND)
+    data = jnp.asarray(data)
+    idx = tuple(jnp.moveaxis(jnp.asarray(indices), -1, 0))
     return data.at[idx].set(updates)
 
 

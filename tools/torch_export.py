@@ -43,13 +43,20 @@ def _install_onnx_stub():
     sys.modules["onnx"] = stub
 
 
-def export(model: nn.Module, example: torch.Tensor, path: str, opset: int = 13,
-           output_names=None):
+def export(model: nn.Module, example, path: str, opset: int = 13,
+           output_names=None, input_names=None):
+    """example: one tensor or a tuple of tensors (multi-input models —
+    e.g. encoder-decoder ids); input names default to 'input' /
+    'input_<i>'."""
     _install_onnx_stub()
     model.eval()
+    ex_tuple = example if isinstance(example, tuple) else (example,)
+    if input_names is None:
+        input_names = (["input"] if len(ex_tuple) == 1
+                       else [f"input_{i}" for i in range(len(ex_tuple))])
     with torch.no_grad():
-        torch.onnx.export(model, (example,), path, opset_version=opset, dynamo=False,
-                          input_names=["input"],
+        torch.onnx.export(model, ex_tuple, path, opset_version=opset, dynamo=False,
+                          input_names=list(input_names),
                           output_names=list(output_names or ["output"]))
     return path
 
