@@ -172,7 +172,21 @@ class StatsRunner:
         if self.compute_dtype is None:
             return batch
         dt = self.compute_dtype
-        return {k: np.asarray(v).astype(dt) for k, v in batch.items()}
+        # inputs DECLARED integer (token ids -> Gather indices) must keep
+        # their raw-f32 values: bf16 has 8 mantissa bits, so ids >= 256
+        # round — some past the vocab boundary, making the embedding
+        # Gather out-of-bounds (observed: NaN on every tensor of a
+        # t5-small at vocab 32128; bert at 30522 was silently gathering
+        # wrong rows)
+        from ..onnx_ir.helper import ONNX_TO_NP
+        import jax.numpy as jnp
+
+        def _castable(name):
+            want = ONNX_TO_NP.get(self.ex.graph.get_value_type(name))
+            return want is None or not jnp.issubdtype(jnp.dtype(want), jnp.integer)
+
+        return {k: (np.asarray(v).astype(dt) if _castable(k) else np.asarray(v))
+                for k, v in batch.items()}
 
     def _place(self, batch):
         if self.mesh is None:

@@ -39,7 +39,12 @@ def cos_similarity(ta, tb):
 
 
 def _cos_from_stats(dot, na, nb):
-    if dot == 0:
+    # na/nb can underflow to exactly 0 while the cross-term doesn't (f32
+    # accumulation of denormal-scale tensors), and non-finite stats reach
+    # here when a model overflows its own activations — degenerate either
+    # way, cosine 0
+    if dot == 0 or na <= 0 or nb <= 0 \
+            or not (math.isfinite(dot) and math.isfinite(na) and math.isfinite(nb)):
         return 0.0
     return dot / math.sqrt(na) / math.sqrt(nb)
 
@@ -47,6 +52,8 @@ def _cos_from_stats(dot, na, nb):
 def _snr_db_from_stats(dot, na, nb):
     """SNR(dB) of quantized vs fp: 10*log10(|a|^2 / |a-b|^2), from the same
     sufficient statistics (|a-b|^2 = na + nb - 2*dot)."""
+    if not (math.isfinite(dot) and math.isfinite(na) and math.isfinite(nb)):
+        return 0.0
     noise = max(na + nb - 2.0 * dot, 0.0)
     if noise <= 0:
         return float("inf")

@@ -51,9 +51,23 @@ def _weight_in_channel_amax(graph: GraphIR, node) -> Tuple[str, np.ndarray]:
     return w_name, np.abs(w).max(axis=1)
 
 
+def _exclusive_init(graph: GraphIR, name, owner) -> bool:
+    """True if initializer `name` is consumed ONLY by `owner`.  Exporters
+    DEDUPLICATE identical constant tensors: T5 initializes every RMS-norm
+    gamma to ones, so torch emits ONE shared initializer for all ~13 norms
+    — folding 1/s into it would corrupt every other norm by that group's
+    scale (measured: a shared gamma divided 13 times, ratio 6e4, FP cos
+    0.40).  Shared params must take the insert path instead."""
+    consumers = graph.get_tensor_consumer(name)
+    return len(consumers) == 1 and not isinstance(consumers[0], str) \
+        and consumers[0] is owner
+
+
 def _foldable_producer(graph: GraphIR, tensor: str):
     """Returns (kind, payload) describing how to divide the producer's
-    per-channel output by s, or None if the producer is not foldable."""
+    per-channel output by s, or None if the producer is not foldable.
+    Every fold target (gamma/beta) must be EXCLUSIVE to its producer —
+    see _exclusive_init."""
     prod = graph.get_tensor_producer(tensor)
     if isinstance(prod, str):
         return None
@@ -69,11 +83,13 @@ def _foldable_producer(graph: GraphIR, tensor: str):
     if prod.op_type == "LayerNormalization":
         scale = prod.input[1]
         bias = prod.input[2] if len(prod.input) > 2 else None
-        if scale in graph.initializer:
+        if scale in graph.initializer and _exclusive_init(graph, scale, prod) \
+                and (bias is None or bias not in graph.initializer
+                     or _exclusive_init(graph, bias, prod)):
             return "ln", (scale, bias)
     if prod.op_type == "Add":
         beta = chan_init(prod)
-        if beta is not None:
+        if beta is not None and _exclusive_init(graph, beta, prod):
             inner = [i for i in prod.input if i != beta][0]
             mul = graph.get_tensor_producer(inner)
             if not isinstance(mul, str) and mul.op_type == "Mul":
@@ -81,12 +97,12 @@ def _foldable_producer(graph: GraphIR, tensor: str):
                 # the Add's output must be consumed only via this path and the
                 # Mul's output only by the Add (no other branch sees the
                 # un-smoothed values)
-                if gamma is not None and \
-                        len(graph.get_tensor_consumer(inner)) == 1:
+                if gamma is not None and _exclusive_init(graph, gamma, mul) \
+                        and len(graph.get_tensor_consumer(inner)) == 1:
                     return "ln", (gamma, beta)
     if prod.op_type == "Mul":
         gamma = chan_init(prod)
-        if gamma is not None:
+        if gamma is not None and _exclusive_init(graph, gamma, prod):
             return "ln", (gamma, None)
     return None
 
@@ -180,6 +196,14 @@ def smooth_quant(graph: GraphIR, args) -> GraphIR:
         s[a <= 1e-30] = 1.0  # dead channels stay untouched
         if np.allclose(s, 1.0, rtol=0.25):
             continue  # nothing worth migrating in this group
+        # a weight initializer shared with any consumer OUTSIDE this group
+        # (deduplicated constants, tied embeddings) must not be scaled —
+        # the outside consumer would see the corrupted values
+        member_ids = {id(m[0]) for m in members}
+        if any(any(isinstance(c, str) or id(c) not in member_ids
+                   for c in graph.get_tensor_consumer(m[1]))
+               for m in members):
+            continue
 
         consumers = graph.get_tensor_consumer(act)
         member_nodes = {id(m[0]) for m in members}
@@ -214,8 +238,11 @@ def smooth_quant(graph: GraphIR, args) -> GraphIR:
             graph.set_index()
             n_insert += len(members)
             mode = "insert"
+        scaled = set()  # a weight shared by several members scales ONCE
         for m_node, w_name, _ in members:
-            _scale_weight(graph, m_node, w_name, s)
+            if w_name not in scaled:
+                scaled.add(w_name)
+                _scale_weight(graph, m_node, w_name, s)
         logger.info("SmoothQuant(%s): %s -> %d weight(s), s in [%.3g, %.3g]",
                     mode, act, len(members), float(s.min()), float(s.max()))
 

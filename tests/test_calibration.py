@@ -234,3 +234,43 @@ def test_stats_runner_reuse_across_datasets(small_model, tmp_path):
         results.append(runner.run_minmax(params, ds, batch_size=2))
     a, b = results
     assert a != b, "two different datasets returned identical stats"
+
+
+def test_bf16_calibration_preserves_integer_inputs(tmp_path):
+    """bf16 stats forwards must NOT cast integer-DECLARED inputs (token
+    ids) to bf16: 8 mantissa bits round ids >= 256, pushing some past the
+    vocab boundary — the embedding Gather goes out of bounds (regression:
+    every stat of a t5-small at vocab 32128 came back NaN; bert at 30522
+    silently gathered wrong rows)."""
+    import jax.numpy as jnp
+    from dipoorlet_tpu.calib.stats import StatsRunner
+    from dipoorlet_tpu.runtime.data import save_sample
+
+    vocab = 4099  # odd size: bf16 rounds 4097.. up past the boundary
+    rng = np.random.RandomState(0)
+    table = rng.randn(vocab, 8).astype(np.float32)
+    inits = [oir.array_to_tensor(table, "emb")]
+    nodes = [oir.make_node("Gather", ["emb", "ids"], ["e"], name="gather", axis=0),
+             oir.make_node("ReduceMean", ["e"], ["y"], name="rm", axes=[-1])]
+    graph = oir.make_graph(
+        nodes, "g",
+        [oir.make_tensor_value_info("ids", oir.DataType.INT64, [1, 16])],
+        [oir.make_tensor_value_info("y", oir.DataType.FLOAT, [1, 16])],
+        initializer=inits)
+    g = GraphIR(oir.make_model(graph))
+    simplify_graph(g)
+    ex = Executor(g)
+    d = str(tmp_path / "ids")
+    # ids hugging the top of the vocab, where bf16 rounding overflows it
+    ids = np.arange(vocab - 16, vocab, dtype=np.float32).reshape(1, 16)
+    save_sample(d, "ids", 0, ids)
+    ds = CalibDataset(d, ex.input_shapes(), 1)
+    params = ex.init_params()
+    mm32 = StatsRunner(ex).run_minmax(params, ds, batch_size=1)
+    mm16 = StatsRunner(ex, compute_dtype=jnp.bfloat16).run_minmax(
+        params, ds, batch_size=1)
+    for k in mm32:
+        assert np.isfinite(mm16[k]["min"]) and np.isfinite(mm16[k]["max"]), k
+    # the gathered rows must be the EXACT requested rows in both modes
+    np.testing.assert_allclose(mm16["e"]["min"], mm32["e"]["min"], rtol=2e-2)
+    np.testing.assert_allclose(mm16["e"]["max"], mm32["e"]["max"], rtol=2e-2)

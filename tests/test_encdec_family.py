@@ -127,3 +127,48 @@ def test_e2e_quantize_cli(t5, rng):
     # projections per block: self-attn q/k/v/o + ff wi/wo (+ cross q/k/v/o)
     assert ops.get("QLinearMatMul", 0) + ops.get("QGemm", 0) >= 10, ops
     assert ops.get("MatMul", 0) + ops.get("Gemm", 0) == 0, ops
+
+
+def test_smooth_quant_is_output_preserving_with_shared_gammas(t5, rng):
+    """T5 initializes every RMS-norm gamma to ones and the exporter
+    DEDUPLICATES identical constants into one shared initializer —
+    folding 1/s into it corrupted every other norm (measured FP cos
+    0.40, each fold dividing the same gamma).  Shared params must take
+    the insert path; the transformed graph must match the original in
+    FP exactly."""
+    import importlib
+    SQ = importlib.import_module('dipoorlet_tpu.wtrans.smooth_quant')
+    wrap, path, ws = t5
+    data_dir = str(ws / "data_sq")
+    n = 4
+    for i in range(n):
+        e, d = _ids(rng)
+        save_sample(data_dir, "input_0", i, e.astype(np.float32))
+        save_sample(data_dir, "input_1", i, d.astype(np.float32))
+    g = GraphIR.load(path)
+    simplify_graph(g)
+    optimize_transformer(g)
+    g0 = g.clone()
+
+    class A:
+        input_dir = data_dir
+        data_num = n
+        batch_size = 2
+        sq_alpha = 0.5
+        deploy = "magicmind"
+        skip_layers = []
+        rank = 0
+        world_size = 1
+
+    SQ.smooth_quant(g, A())
+    # the transform must have migrated SOMETHING (insert path)
+    assert any(nn.op_type == "Mul" and nn.name.startswith("SQ_")
+               for nn in g.graph.node)
+    e, d = _ids(rng)
+    feeds = {"input_0": e.astype(np.float32), "input_1": d.astype(np.float32)}
+    outs = []
+    for gg in (g0, g):
+        ex = Executor(gg)
+        out, _ = ex.forward(ex.init_params(), feeds)
+        outs.append(np.asarray(out[gg.network_outputs[0]]))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-4, atol=1e-5)
