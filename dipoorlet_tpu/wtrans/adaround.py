@@ -73,6 +73,7 @@ def adaround(graph_ori, graph, act_clip_val, weight_clip_val, args):
                             data_sharding=mesh_sharding(args),
                             plan=plan, global_mesh=gmesh)
         new_weight = hard_round_weight(spec, masks[0])
+        warn_if_shared_param(graph_ada, node.input[1], "adaround")
         graph_ada.set_initializer(node.input[1], new_weight)
         q_provider.update_weight(node.input[1], new_weight)
 

@@ -81,6 +81,7 @@ def brecq(graph_ori, graph, act_clip_val, weight_clip_val, args):
 
         for spec, mask, _node in zip(specs, masks, block):
             new_weight = hard_round_weight(spec, mask)
+            warn_if_shared_param(graph_brecq, _node.input[1], "brecq")
             graph_brecq.set_initializer(_node.input[1], new_weight)
             q_provider.update_weight(_node.input[1], new_weight)
 

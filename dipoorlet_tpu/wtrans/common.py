@@ -108,6 +108,24 @@ def squeeze_batch_dim(x):
     return x
 
 
+def warn_if_shared_param(graph: GraphIR, name: str, transform: str):
+    """Exporters DEDUPLICATE identical constant tensors (T5's all-ones
+    RMS gammas collapsed to one shared initializer) and tie weights
+    (embedding/lm_head).  A weight transform that rewrites such an
+    initializer silently changes EVERY consumer; surface it loudly so
+    the corruption is diagnosable (SmoothQuant refuses shared params
+    outright; the per-layer transforms warn — the reference would
+    corrupt silently)."""
+    consumers = graph.input_map.get(name, [])
+    if len(consumers) > 1:
+        from ..utils.logging import logger
+        logger.warning(
+            "%s rewrites initializer %r which is SHARED by %d nodes (%s) — "
+            "exporter-deduplicated or tied parameter; the update affects "
+            "all of them", transform, name, len(consumers),
+            ", ".join(c.name for c in consumers[:4]))
+
+
 def wt_input_source(graph_wt: GraphIR, node) -> str:
     """The first-input tensor of `node` as rewired in the post-weight-
     transform graph.  Reconstruction drivers iterate graph_ori's nodes

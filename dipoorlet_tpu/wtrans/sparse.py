@@ -111,6 +111,7 @@ def sparse_quant(graph_ori, graph, act_clip_val, weight_clip_val, args):
         new_weight = _learn_sparse(spec, q_in, fp_out, args.ada_bs, args.ada_epoch,
                                    sparse_info, data_sharding=mesh_sharding(args),
                                    plan=plan, global_mesh=gmesh)
+        warn_if_shared_param(graph_sq, node.input[1], "sparse_quant")
         graph_sq.set_initializer(node.input[1], new_weight)
         q_provider.update_weight(node.input[1], new_weight)
 
