@@ -16,7 +16,7 @@ from .common import (LEARNABLE_LAYER_TYPES, follow_relu,
                      make_activation_provider, mesh_sharding,
                      quantized_input_name, reconstruction_mesh,
                      reconstruction_plan, squeeze_batch_dim, stable_seed,
-                     weight_qparams_for_node, wt_input_source)
+                     warn_if_shared_param, weight_qparams_for_node, wt_input_source)
 from .reconstruct import LayerSpec, hard_round_weight, learn_block, node_signature
 from .weight_equalization import node_has_equalized
 

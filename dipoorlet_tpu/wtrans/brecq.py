@@ -18,7 +18,8 @@ from .common import (LEARNABLE_LAYER_TYPES, acti_qparams_for_node,
                      make_activation_provider, mesh_sharding,
                      quantized_input_name, reconstruction_mesh,
                      reconstruction_plan, sq_rescale_fp_input,
-                     squeeze_batch_dim, stable_seed, wt_input_source)
+                     squeeze_batch_dim, stable_seed, warn_if_shared_param,
+                     wt_input_source)
 from .reconstruct import hard_round_weight, learn_block
 from .weight_equalization import node_has_equalized
 

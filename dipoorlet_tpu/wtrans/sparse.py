@@ -23,7 +23,7 @@ from .common import (LEARNABLE_LAYER_TYPES, follow_relu,
                      make_activation_provider, mesh_sharding,
                      quantized_input_name, reconstruction_mesh,
                      reconstruction_plan, squeeze_batch_dim,
-                     wt_input_source)
+                     warn_if_shared_param, wt_input_source)
 from .reconstruct import _apply_from_sig, _to_onnx_layout
 from .weight_equalization import node_has_equalized
 
